@@ -1,0 +1,25 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+The bench (bench.py) runs on the real TPU; tests are deterministic and
+hardware-independent.  Note: this environment pre-configures
+``jax_platforms=axon,cpu`` — the config.update below overrides it before
+any backend is initialized.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)

@@ -1,0 +1,136 @@
+"""Exact parity of pointer-doubling compression vs the oracle's sequential
+reimplementation of CompressFromHash (compression.rs:355-615).
+
+Checks unitig sequences, end-Exts, reduced data, and node order on the
+reference's fixture generators plus degenerate cases (palindromic repeats,
+homopolymers/self-loops, circular period-2 repeats).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_debruijn import compress as C
+from tpu_debruijn import filter as F
+from tpu_debruijn.oracle import ref as O
+
+
+def _run_case(contigs, k, stranded, minobs=1):
+    seqs = [(np.array(c, dtype=np.uint8), 0, 0) for c in contigs if len(c) >= k]
+    seqs = seqs + seqs
+    tab = F.filter_kmers(seqs, k, stranded=stranded, min_obs=minobs)
+    otab, _ = O.filter_kmers(
+        [(list(s[0]), 0, 0) for s in seqs], k, O.CountFilter(minobs), stranded
+    )
+    assert tab.to_tuples() == [(kv, e, c) for kv, e, c in otab]
+    spec = O.SimpleCompress(lambda a, b: min(a + b, 0xFFFF))
+    onodes = O.compress_kmers(stranded, spec, otab, k)
+    gnodes = C.compress_kmers(tab, data_reduce="sum_sat_u16")
+    ow = [(tuple(s), e, d) for s, e, d in onodes]
+    gw = [(tuple(int(x) for x in s), e, d) for s, e, d in gnodes]
+    assert ow == gw
+    return gnodes
+
+
+def test_degenerate_palindromic_repeat():
+    # test.rs:170-193 (degen_seq_asm) at K31
+    ctg = [{"A": 0, "C": 1, "G": 2, "T": 3}[c]
+           for c in "AAAAATAAAATAAAATAAAATAAAATAAAATAAAATAAAATAAAA"]
+    nodes = _run_case([ctg, ctg], 31, stranded=False)
+    assert len(nodes) == 2
+
+
+def test_homopolymer_self_loop():
+    homo = [0] * 50
+    _run_case([homo], 16, stranded=False)
+    _run_case([homo], 16, stranded=True)
+
+
+def test_period2_circular():
+    _run_case([[0, 1] * 40], 16, stranded=False)
+    _run_case([[2, 3] * 40], 16, stranded=True)
+
+
+def test_embedded_palindrome(rng):
+    # simple_random_contigs embeds a 66bp palindrome (test.rs:81-91)
+    for trial in range(2):
+        contigs = O.simple_random_contigs(rng)
+        for k, stranded in [(16, False), (16, True), (31, False)]:
+            _run_case(contigs, k, stranded)
+
+
+def test_complex_repeats(rng):
+    # random_contigs: Gamma-distributed chunk reuse (test.rs:98-132)
+    for trial in range(2):
+        contigs = O.random_contigs(rng)
+        for k, stranded in [(16, False), (31, False), (32, False)]:
+            _run_case(contigs, k, stranded)
+
+
+def test_unitig_kmers_partition_kmer_set(rng):
+    # reassemble_contigs final invariant (test.rs:392-413): the union of
+    # unitig kmers equals the input kmer set, each kmer in exactly one node
+    k = 16
+    contigs = O.random_contigs(rng)
+    seqs = [(np.array(c, dtype=np.uint8), 0, 0) for c in contigs if len(c) >= k]
+    tab = F.filter_kmers(seqs, k, stranded=False, min_obs=1)
+    kmer_set = set(tab.kmer_ints())
+    nodes = C.compress_kmers(tab)
+    seen = {}
+    for seq, exts, _ in nodes:
+        assert len(seq) >= k
+        v = O.OKmer.from_bases(seq[:k])
+        ks = [O.OKmer.min_rc(k, v)]
+        for b in seq[k:]:
+            v = O.OKmer.extend_right(k, v, int(b))
+            ks.append(O.OKmer.min_rc(k, v))
+        for x in ks:
+            seen[x] = seen.get(x, 0) + 1
+        # end exts reach valid kmers
+        f = O.OKmer.from_bases(seq[:k])
+        l = O.OKmer.from_bases(seq[-k:])
+        for b in range(4):
+            if O.e_dir_bits(exts, 0) & (1 << b):
+                assert O.OKmer.min_rc(k, O.OKmer.extend_left(k, f, b)) in kmer_set
+            if O.e_dir_bits(exts, 1) & (1 << b):
+                assert O.OKmer.min_rc(k, O.OKmer.extend_right(k, l, b)) in kmer_set
+    assert set(seen) == kmer_set
+    assert all(c == 1 for c in seen.values())
+
+
+def test_scmap_join_test(rng):
+    # ScmapCompress (compression.rs:84-98): different data may not merge
+    k = 16
+    c = list(rng.integers(0, 4, 80))
+    # two reads with different labels overlapping in the middle
+    seqs = [(np.array(c[:50], dtype=np.uint8), 0, 1),
+            (np.array(c[30:], dtype=np.uint8), 0, 2)]
+    tab = F.filter_kmers(seqs, k, stranded=False, min_obs=1, data_reduce="min")
+    otab, _ = O.filter_kmers(
+        [(list(s[0]), 0, s[2]) for s in seqs], k,
+        _MinLabel(1), False,
+    )
+    assert [(kv, e) for kv, e, _ in tab.to_tuples()] == [(kv, e) for kv, e, _ in otab]
+    onodes = O.compress_kmers(False, O.ScmapCompress(), otab, k)
+    # engine: join only equal labels, keep label
+    class TabView:
+        pass
+    gnodes = C.compress_kmers(tab, data_reduce="first", join_on_data=True,
+                              data_field="data")
+    ow = [(tuple(s), e, d) for s, e, d in onodes]
+    gw = [(tuple(int(x) for x in s), e, d) for s, e, d in gnodes]
+    assert ow == gw
+
+
+class _MinLabel:
+    """Oracle summarizer: data = min label (to match engine data_reduce=min)."""
+
+    def __init__(self, min_kmer_obs):
+        self.min_kmer_obs = min_kmer_obs
+
+    def summarize(self, items):
+        all_exts = 0
+        labels = []
+        for _, exts, d in items:
+            labels.append(d)
+            all_exts |= exts
+        return len(labels) >= self.min_kmer_obs, all_exts, min(labels)

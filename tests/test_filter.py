@@ -1,0 +1,118 @@
+"""Parity tests: kmer extraction + filter_kmers vs the oracle.
+
+Mirrors the reference's filter tests and the kmer-set invariants of
+test.rs:299-414 (reassemble_contigs stages 1-2).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_debruijn import filter as F
+from tpu_debruijn import kmer as KM
+from tpu_debruijn.kmer import KmerSpec
+from tpu_debruijn.oracle import ref as O
+
+
+@pytest.mark.parametrize("k", [4, 16, 31, 33, 64])
+def test_extract_kmers_vs_oracle(k, rng):
+    spec = KmerSpec(k)
+    for _ in range(3):
+        lens = [int(rng.integers(k, k + 40)) for _ in range(3)]
+        seqs = [rng.integers(0, 4, L) for L in lens]
+        ses = [int(rng.integers(0, 256)) for _ in lens]
+        bases, lengths = F.pad_reads(seqs, min_len=k, pad_to=16)
+        km, ex, vd = F.extract_kmers(
+            spec, jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(ses)
+        )
+        km, ex, vd = np.asarray(km), np.asarray(ex), np.asarray(vd)
+        for r, (seq, se) in enumerate(zip(seqs, ses)):
+            expect = list(O.iter_kmer_exts(list(seq), k, se))
+            assert vd[r].sum() == len(expect)
+            for s, (ev, ee) in enumerate(expect):
+                assert KM.to_int(spec, km[r, s]) == ev
+                assert ex[r, s] == ee
+
+
+@pytest.mark.parametrize(
+    "k,stranded,minobs", [(16, False, 1), (16, True, 2), (31, False, 2)]
+)
+def test_filter_kmers_vs_oracle(k, stranded, minobs, rng):
+    for trial in range(2):
+        contigs = (
+            O.simple_random_contigs(rng) if trial == 0 else O.random_contigs(rng)
+        )
+        seqs = [(np.array(c, dtype=np.uint8), 0, i) for i, c in enumerate(contigs)]
+        seqs = seqs + seqs
+        tab = F.filter_kmers(seqs, k, stranded=stranded, min_obs=minobs, report_all=True)
+        otab, oall = O.filter_kmers(
+            [(list(s[0]), s[1], s[2]) for s in seqs if len(s[0]) >= k],
+            k,
+            O.CountFilter(minobs),
+            stranded,
+            report_all_kmers=True,
+        )
+        assert tab.to_tuples() == [(kv, e, c) for kv, e, c in otab]
+        allk = [KM.to_int(tab.spec, tab.all_kmers[i]) for i in range(len(tab.all_kmers))]
+        assert allk == oall
+
+
+def test_filter_kmers_exts_reach_only_valid(rng):
+    # reassemble_contigs stage: every extension of a valid kmer is a valid kmer
+    k = 16
+    contigs = O.random_contigs(rng)
+    seqs = [(np.array(c, dtype=np.uint8), 0, 0) for c in contigs]
+    tab = F.filter_kmers(seqs, k, stranded=False, min_obs=1)
+    kmer_set = set(tab.kmer_ints())
+    for kv, e, _ in tab.to_tuples():
+        for d in (0, 1):
+            for b in range(4):
+                if O.e_dir_bits(e, d) & (1 << b):
+                    ek = O.OKmer.min_rc(k, O.OKmer.extend(k, kv, b, d))
+                    assert ek in kmer_set
+
+
+def test_remove_censored_exts(rng):
+    k = 16
+    contigs = O.random_contigs(rng)
+    seqs = [(np.array(c, dtype=np.uint8), 0, 0) for c in contigs]
+    # min_obs=2 with single coverage censors everything that appears once
+    seqs2 = seqs + [(seqs[0][0], 0, 0)]
+    tab = F.filter_kmers(seqs2, k, stranded=False, min_obs=2, report_all=True)
+    otab, oall = O.filter_kmers(
+        [(list(s[0]), 0, 0) for s in seqs2 if len(s[0]) >= k],
+        k, O.CountFilter(2), False, report_all_kmers=True,
+    )
+    n = len(tab)
+    if n == 0:
+        pytest.skip("degenerate corpus")
+    # global repair
+    new_e = np.asarray(
+        F.remove_censored_exts_device(
+            tab.spec, False, jnp.asarray(tab.kmers), jnp.asarray(tab.exts), jnp.int32(n)
+        )
+    )
+    want = O.remove_censored_exts(False, k, otab)
+    assert [int(x) for x in new_e] == [e for _, e, _ in want]
+    # sharded repair (census-aware)
+    allk = jnp.asarray(tab.all_kmers)
+    new_e2 = np.asarray(
+        F.remove_censored_exts_device(
+            tab.spec, False, jnp.asarray(tab.kmers), jnp.asarray(tab.exts),
+            jnp.int32(n), all_kmers=allk, all_n=jnp.int32(len(tab.all_kmers)),
+        )
+    )
+    want2 = O.remove_censored_exts_sharded(False, k, otab, oall)
+    assert [int(x) for x in new_e2] == [e for _, e, _ in want2]
+
+
+def test_count_filter_set_labels(rng):
+    # CountFilterSet analog: label min/max reductions survive the pipeline
+    k = 16
+    c = rng.integers(0, 4, 60)
+    seqs = [(c, 0, 5), (c, 0, 2)]
+    tab = F.filter_kmers(seqs, k, stranded=False, min_obs=2, data_reduce="min")
+    assert (tab.data == 2).all()
+    assert (tab.counts == 2).all()
+    tab2 = F.filter_kmers(seqs, k, stranded=False, min_obs=2, data_reduce="max")
+    assert (tab2.data == 5).all()

@@ -1,0 +1,486 @@
+"""Path compression: kmer table -> unitig graph, via pointer doubling (L4).
+
+Reference: CompressFromHash (/root/reference/src/compression.rs:355-615).
+The reference walks each unbranched path sequentially with a hash lookup
+per step.  Here the same result is computed in O(log n) data-parallel
+rounds:
+
+1. **Edge resolution** (``resolve_edges``): for every kmer and direction,
+   apply the reference's merge conditions (compression.rs:382-444) as
+   vector masks — unique extension, target present, no palindromes in
+   unstranded mode (compression.rs:386,403), unique incoming extension at
+   the target (compression.rs:422,435), and the CompressionSpec join_test
+   (compression.rs:426).  Targets are found by vectorized binary search
+   over the sorted kmer array (replacing BoomHashMap2::get_key_id).
+2. **Chain linking** (``link_chains``): each kmer becomes a node with at
+   most one partner per side; unitigs are the connected chains.  A
+   directed successor function over 2n (kmer, orientation) states is
+   pointer-doubled to label every kmer with its unitig id, position, and
+   orientation.  Cycles ("smooth circles", graph.rs:319-321) are cut at
+   the minimum-index kmer exactly where the reference's seed loop
+   (compression.rs:574) would break them.
+3. **Emission**: of the two mirror traversals of each chain, the one where
+   the minimum-index kmer has its stored orientation is emitted — the same
+   orientation the reference produces when that kmer is the seed
+   (compression.rs:483-541).  Unitig ids are assigned in increasing
+   min-kmer order, matching a sequential seed scan in sorted-kmer order.
+
+Per-kmer data is folded per-unitig with segmented reductions; this
+requires the CompressionSpec.reduce to be associative + commutative
+(true of every spec the reference ships or tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_debruijn import exts as E
+from tpu_debruijn import kmer as KM
+from tpu_debruijn import sorting as S
+from tpu_debruijn.kmer import KmerSpec
+
+LEFT, RIGHT = E.LEFT, E.RIGHT
+
+
+def resolve_edges(
+    spec: KmerSpec,
+    stranded: bool,
+    kmers,
+    exts,
+    n_valid,
+    join_labels=None,
+):
+    """Per-kmer merge partners for both directions.
+
+    Returns dict with, for d in {L, R}:
+      partner_d: (n,) int32 target index or -1
+      in_d:      (n,) int32 stored side of the target the edge enters (0/1)
+    """
+    n = kmers.shape[0]
+    idx_self = jnp.arange(n, dtype=jnp.int32)
+    valid = idx_self < n_valid
+
+    if not stranded:
+        pal_self = KM.is_palindrome(spec, kmers)
+    else:
+        pal_self = jnp.zeros(n, bool)
+
+    partners = {}
+    ins = {}
+    pre = {}
+    for d in (LEFT, RIGHT):
+        uniq, base = E.unique_extension(exts, d)
+        cand = (
+            KM.extend_left(spec, kmers, base.astype(jnp.uint32))
+            if d == LEFT
+            else KM.extend_right(spec, kmers, base.astype(jnp.uint32))
+        )
+        if not stranded:
+            cand, flip = KM.min_rc_flip(spec, cand)
+            pal_next = KM.is_palindrome(spec, cand)
+        else:
+            flip = jnp.zeros(n, bool)
+            pal_next = jnp.zeros(n, bool)
+
+        j, found = S.searchsorted_limbs(kmers, cand, n_valid)
+        j = jnp.where(found, j, -1)
+        jc = jnp.clip(j, 0, n - 1)
+
+        # side of the target the edge comes in on (compression.rs:419)
+        in_d = jnp.where(flip, d, 1 - d).astype(jnp.int32)
+        incoming_cnt = E.num_ext_dir(exts[jc], in_d)
+
+        ok = (
+            valid
+            & uniq
+            & found
+            & (j != idx_self)
+            & ~pal_self
+            & ~pal_next
+            & (incoming_cnt == 1)
+        )
+        if join_labels is not None:
+            ok = ok & (join_labels[idx_self] == join_labels[jc])
+        partners[d] = jnp.where(ok, j, -1)
+        ins[d] = in_d
+
+    # enforce mutuality: the reverse half-edge must point back at us
+    out = {}
+    for d in (LEFT, RIGHT):
+        j = partners[d]
+        jc = jnp.clip(j, 0, n - 1)
+        rev = jnp.where(ins[d] == LEFT, partners[LEFT][jc], partners[RIGHT][jc])
+        ok = (j >= 0) & (rev == idx_self)
+        out[d] = (jnp.where(ok, j, -1), ins[d])
+    return {
+        "partner_l": out[LEFT][0],
+        "in_l": out[LEFT][1],
+        "partner_r": out[RIGHT][0],
+        "in_r": out[RIGHT][1],
+    }
+
+
+@dataclasses.dataclass
+class Chains:
+    """Result of chain linking over n items (kmers or graph nodes)."""
+
+    uid: jnp.ndarray  # (n,) unitig id per item, -1 for invalid/padding
+    pos: jnp.ndarray  # (n,) position within unitig (0-based from left)
+    flip: jnp.ndarray  # (n,) bool: item is reverse-complemented in unitig
+    n_unitigs: jnp.ndarray  # ()
+    length: jnp.ndarray  # (n,) unitig length in items (slot u valid < n_unitigs)
+    first_item: jnp.ndarray  # (n,) item index at position 0 of unitig u
+    last_item: jnp.ndarray  # (n,) item index at last position of unitig u
+    first_flip: jnp.ndarray  # (n,) orientation of first item
+    last_flip: jnp.ndarray  # (n,) orientation of last item
+
+
+jax.tree_util.register_dataclass(
+    Chains,
+    data_fields=[
+        "uid",
+        "pos",
+        "flip",
+        "n_unitigs",
+        "length",
+        "first_item",
+        "last_item",
+        "first_flip",
+        "last_flip",
+    ],
+    meta_fields=[],
+)
+
+
+def _succ_states(partner_l, partner_r, in_l, in_r, valid):
+    """Directed successor over 2n (item, orientation) walker states.
+
+    State 2i+o = item i, orientation o (0 stored / 1 flipped), moving
+    "right" along the unitig.  Exit side in stored frame is R for o=0,
+    L for o=1; the entered side of the target determines its orientation.
+    """
+    n = partner_l.shape[0]
+
+    def one(dir_partner, dir_in):
+        j = dir_partner
+        oj = jnp.where(dir_in == LEFT, 0, 1)
+        return jnp.where(j >= 0, 2 * j + oj, -1)
+
+    succ0 = one(partner_r, in_r)  # o=0 exits stored R
+    succ1 = one(partner_l, in_l)  # o=1 exits stored L
+    succ = jnp.stack([succ0, succ1], axis=1).reshape(2 * n)
+    svalid = jnp.repeat(valid, 2)
+    return jnp.where(svalid, succ, -1)
+
+
+def _double(succ, node, orient):
+    """Pointer doubling: returns (end_state, dist_to_end, min_node,
+    orient_at_min, hits_end) arrays over states.
+
+    ``min_node``/``orient_at_min`` aggregate over the state's forward
+    reachable segment (inclusive of itself).
+    """
+    m = succ.shape[0]
+    steps = max(1, math.ceil(math.log2(m + 1)))
+    dist = jnp.where(succ >= 0, 1, 0).astype(jnp.int32)
+    mn = node
+    mo = orient
+
+    def body(_, carry):
+        succ, dist, mn, mo = carry
+        sc = jnp.clip(succ, 0, m - 1)
+        has = succ >= 0
+        mn2 = jnp.where(has, mn[sc], mn)
+        mo2 = jnp.where(has, mo[sc], mo)
+        take = mn2 < mn
+        mn_new = jnp.where(take, mn2, mn)
+        mo_new = jnp.where(take, mo2, mo)
+        dist_new = dist + jnp.where(has, dist[sc], 0)
+        succ_new = jnp.where(has, succ[sc], succ)
+        return succ_new, dist_new, mn_new, mo_new
+
+    succ_f, dist_f, mn_f, mo_f = jax.lax.fori_loop(
+        0, steps, body, (succ, dist, mn, mo)
+    )
+    # after full doubling, path states have succ_f == -1; cycle states don't
+    return succ_f, dist_f, mn_f, mo_f
+
+
+def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
+    """Label each item with (unitig id, position, orientation).
+
+    See module docstring.  ``valid`` masks live items; invalid items get
+    uid -1.
+    """
+    n = partner_l.shape[0]
+    m = 2 * n
+    node = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 2)
+    orient = jnp.tile(jnp.arange(2, dtype=jnp.int32), n)
+
+    succ = _succ_states(partner_l, partner_r, in_l, in_r, valid)
+
+    # --- pass 1: find cycles and their min nodes; cut like the reference's
+    # seed loop would (cycle consumed into one path ending at the min node
+    # in stored orientation, compression.rs:450-479)
+    succ_f, _, mn_f, _ = _double(succ, node, orient)
+    is_cycle = succ_f >= 0
+    cut_exit = is_cycle & (node == mn_f) & (orient == 0)
+    # mirror edge: the state whose successor is (min node, orient 1)
+    succ_c = jnp.clip(succ, 0, m - 1)
+    target_is_min_flipped = is_cycle & (succ >= 0) & (node[succ_c] == mn_f) & (
+        orient[succ_c] == 1
+    )
+    succ = jnp.where(cut_exit | target_is_min_flipped, -1, succ)
+
+    # --- pass 2: real ranks on the cut graph
+    _, dist, mn, mo = _double(succ, node, orient)
+
+    # chain ends & starts
+    is_end = (succ == -1) & jnp.repeat(valid, 2)
+    pred = jnp.zeros(m, jnp.int32).at[jnp.where(succ >= 0, succ, m)].add(
+        1, mode="drop"
+    )
+    is_start = (pred == 0) & jnp.repeat(valid, 2)
+
+    # end state of each state's chain: scatter via  dist steps? end =
+    # follow succ_f from pass... recompute: after doubling on the cut
+    # graph, each state's forward segment reaches the end; the end state is
+    # the unique state with succ=-1, found by propagating state ids.
+    end_id = jnp.where(succ == -1, jnp.arange(m, dtype=jnp.int32), -1)
+    steps = max(1, math.ceil(math.log2(m + 1)))
+
+    def body(_, carry):
+        succ_c, end_c = carry
+        sc = jnp.clip(succ_c, 0, m - 1)
+        has = succ_c >= 0
+        end_new = jnp.where(has, end_c[sc], end_c)
+        succ_new = jnp.where(has, succ_c[sc], succ_c)
+        return succ_new, end_new
+
+    _, end_id = jax.lax.fori_loop(0, steps, body, (succ, end_id))
+
+    # --- emission: keep the traversal where the chain's min node is in
+    # stored orientation.  Aggregates (mn, mo) at a start state cover the
+    # whole chain.
+    emit_start = is_start & (mo == 0)
+
+    # unitig ids in increasing chain-min-node order (reference seed order)
+    sort_key = jnp.where(emit_start, mn, jnp.int32(n))
+    order = jnp.argsort(sort_key, stable=True)
+    rank = jnp.zeros(m, jnp.int32).at[order].set(jnp.arange(m, dtype=jnp.int32))
+    n_unitigs = emit_start.sum().astype(jnp.int32)
+
+    # broadcast the start's uid to the chain via its end state
+    uid_of_end = jnp.full(m, -1, jnp.int32)
+    uid_of_end = uid_of_end.at[jnp.where(emit_start, end_id, m)].set(
+        jnp.where(emit_start, rank, -1), mode="drop"
+    )
+    uid_state = uid_of_end[jnp.clip(end_id, 0, m - 1)]
+    uid_state = jnp.where(end_id >= 0, uid_state, -1)
+
+    emitted = uid_state >= 0
+    # chain length & position: dist counts steps to end
+    len_of_end = jnp.zeros(m, jnp.int32).at[
+        jnp.where(emit_start, end_id, m)
+    ].set(dist + 1, mode="drop")
+    chain_len = len_of_end[jnp.clip(end_id, 0, m - 1)]
+    pos_state = chain_len - 1 - dist
+
+    # per-item results: each item has exactly one emitted state
+    uid_pair = uid_state.reshape(n, 2)
+    emit_pair = emitted.reshape(n, 2)
+    pick = jnp.where(emit_pair[:, 0], 0, 1)  # which orientation is emitted
+    take = lambda a: a.reshape(n, 2)[jnp.arange(n), pick]
+    uid = jnp.where(valid & (emit_pair[:, 0] | emit_pair[:, 1]), take(uid_state), -1)
+    pos = take(pos_state)
+    flip = pick.astype(bool)
+
+    # per-unitig endpoints
+    length_u = jnp.zeros(n, jnp.int32)
+    first_item = jnp.zeros(n, jnp.int32)
+    last_item = jnp.zeros(n, jnp.int32)
+    first_flip = jnp.zeros(n, jnp.int32)
+    last_flip = jnp.zeros(n, jnp.int32)
+    su = jnp.where(emit_start, uid_state, -1)
+    length_u = length_u.at[jnp.where(emit_start, su, n)].set(dist + 1, mode="drop")
+    first_item = first_item.at[jnp.where(emit_start, su, n)].set(node, mode="drop")
+    first_flip = first_flip.at[jnp.where(emit_start, su, n)].set(orient, mode="drop")
+    at_end = emitted & is_end
+    eu = jnp.where(at_end, uid_state, -1)
+    last_item = last_item.at[jnp.where(at_end, eu, n)].set(node, mode="drop")
+    last_flip = last_flip.at[jnp.where(at_end, eu, n)].set(orient, mode="drop")
+
+    return Chains(
+        uid=uid,
+        pos=pos,
+        flip=flip,
+        n_unitigs=n_unitigs,
+        length=length_u,
+        first_item=first_item,
+        last_item=last_item,
+        first_flip=first_flip,
+        last_flip=last_flip,
+    )
+
+
+def _nibble_complement(nib):
+    """Reverse bit order of a 4-bit extension nibble (base complementing)."""
+    return E.complement_bits(nib & 0x0F) & 0x0F
+
+
+def unitig_end_exts(exts, chains: Chains):
+    """Per-unitig Exts byte from the terminal kmers' stored exts.
+
+    Matches build_node's end handling (compression.rs:513-517,534-538):
+    walk-left side of the first item (complemented if flipped), walk-right
+    side of the last item (complemented if flipped).
+    """
+    fi = chains.first_item
+    ff = chains.first_flip
+    li = chains.last_item
+    lf = chains.last_flip
+    e_first = exts[fi]
+    e_last = exts[li]
+    left_nib = jnp.where(
+        ff == 0,
+        E.dir_bits(e_first, LEFT),
+        _nibble_complement(E.dir_bits(e_first, RIGHT)),
+    )
+    right_nib = jnp.where(
+        lf == 0,
+        E.dir_bits(e_last, RIGHT),
+        _nibble_complement(E.dir_bits(e_last, LEFT)),
+    )
+    return E.from_single_dirs(left_nib, right_nib)
+
+
+def compress_kmer_table_device(
+    spec: KmerSpec,
+    stranded: bool,
+    kmers,
+    exts,
+    n_valid,
+    join_labels=None,
+):
+    """Full device-side compression: table arrays -> chains + unitig exts.
+
+    compress_kmers_with_hash equivalent (compression.rs:588-594).
+    """
+    n = kmers.shape[0]
+    edges = resolve_edges(spec, stranded, kmers, exts, n_valid, join_labels)
+    valid = jnp.arange(n, dtype=jnp.int32) < n_valid
+    chains = link_chains(
+        edges["partner_l"], edges["partner_r"], edges["in_l"], edges["in_r"], valid
+    )
+    u_exts = unitig_end_exts(exts, chains)
+    # per-kmer contributed base (for sequence assembly): oriented last base
+    contrib = jnp.where(
+        chains.flip,
+        (~KM.first_base(spec, kmers)) & np.uint32(3),
+        KM.last_base(spec, kmers),
+    )
+    return chains, u_exts, contrib
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _compress_jit(spec, stranded, use_join, kmers, exts, n_valid, join_labels):
+    return compress_kmer_table_device(
+        spec, stranded, kmers, exts, n_valid, join_labels if use_join else None
+    )
+
+
+def _reduce_np(op: str, vals: np.ndarray, uid: np.ndarray, n_unitigs: int):
+    if op == "sum_sat_u16":
+        acc = np.zeros(n_unitigs, np.int64)
+        np.add.at(acc, uid, vals.astype(np.int64))
+        return np.minimum(acc, 65535).astype(np.int32)
+    if op == "sum":
+        acc = np.zeros(n_unitigs, np.int64)
+        np.add.at(acc, uid, vals.astype(np.int64))
+        return acc.astype(np.int32)
+    if op == "max":
+        acc = np.full(n_unitigs, np.iinfo(np.int32).min, np.int32)
+        np.maximum.at(acc, uid, vals.astype(np.int32))
+        return acc
+    if op == "min":
+        acc = np.full(n_unitigs, np.iinfo(np.int32).max, np.int32)
+        np.minimum.at(acc, uid, vals.astype(np.int32))
+        return acc
+    if op == "first":  # all-equal data (ScmapCompress)
+        acc = np.zeros(n_unitigs, np.int32)
+        acc[uid] = vals
+        return acc
+    raise ValueError(op)
+
+
+def compress_kmers(
+    table,
+    *,
+    data_reduce: str = "sum_sat_u16",
+    join_on_data: bool = False,
+    data_field: str = "counts",
+):
+    """Host API: KmerTable -> list of unitigs [(bases, exts, data)].
+
+    Equivalent to compress_kmers_with_hash (compression.rs:588) followed by
+    reading BaseGraph node arrays.  ``data_reduce`` folds the per-kmer data
+    (associative/commutative ops only); ``join_on_data`` enables the
+    ScmapCompress-style join_test (only equal data may merge,
+    compression.rs:84-98).
+    """
+    spec = table.spec
+    n = len(table.kmers)
+    if n == 0:
+        return []
+    kmers = jnp.asarray(table.kmers)
+    exts = jnp.asarray(table.exts)
+    data_np = np.asarray(getattr(table, data_field))
+    labels = jnp.asarray(data_np, jnp.int32)
+    chains, u_exts, contrib = _compress_jit(
+        spec, table.stranded, join_on_data, kmers, exts, jnp.int32(n), labels
+    )
+    uid = np.asarray(chains.uid)
+    pos = np.asarray(chains.pos)
+    flip = np.asarray(chains.flip)
+    u_exts = np.asarray(u_exts)
+    contrib = np.asarray(contrib)
+    lengths = np.asarray(chains.length)
+    nutg = int(chains.n_unitigs)
+    first_item = np.asarray(chains.first_item)
+    first_flip = np.asarray(chains.first_flip)
+
+    # assemble ragged unitig sequences
+    live = uid >= 0
+    data_red = _reduce_np(data_reduce, data_np[live], uid[live], nutg)
+
+    offsets = np.zeros(nutg + 1, np.int64)
+    offsets[1:] = np.cumsum(lengths[:nutg] + spec.k - 1)
+    seq_flat = np.zeros(offsets[-1], np.uint8)
+    # bases contributed by each kmer at pos >= 1
+    tail = live & (pos > 0)
+    seq_flat[offsets[uid[tail]] + spec.k - 1 + pos[tail]] = contrib[tail]
+    # the first kmer contributes all K bases, oriented
+    for u in range(nutg):
+        i = first_item[u]
+        b = KM.to_bases(spec, table.kmers[i])
+        if first_flip[u]:
+            b = (3 - b[::-1]) & 3
+        seq_flat[offsets[u] : offsets[u] + spec.k] = b
+
+    out = []
+    for u in range(nutg):
+        out.append(
+            (
+                seq_flat[offsets[u] : offsets[u + 1]],
+                int(u_exts[u]),
+                int(data_red[u]),
+            )
+        )
+    return out

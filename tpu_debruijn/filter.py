@@ -1,0 +1,375 @@
+"""Kmer counting / filtering engine (L3): the TPU-native ``filter_kmers``.
+
+Reference: /root/reference/src/filter.rs:139-231.  Same semantics —
+enumerate every kmer of every read with its extension byte
+(lib.rs:809-842), canonicalize to min(kmer, rc) in unstranded mode
+(filter.rs:190-196), group equal kmers, and fold each group through a
+summarizer (CountFilter / CountFilterSet, filter.rs:40-101) — but the
+mechanism is TPU-first:
+
+* kmer extraction is a fully parallel bit-window gather over 2-bit packed
+  base words (no sequential iterator),
+* grouping is one lexicographic sort over uint32 limbs (the reference
+  already sorts inside each of its 256 buckets, filter.rs:206 — here the
+  sort IS the whole join),
+* summarizers are segmented reductions (sum / bitwise-or / first).
+
+The jitted pipeline keeps static shapes: all arrays are padded to
+``R * (L - K + 1)`` candidate slots with validity masks; host wrappers
+trim to actual sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_debruijn import exts as E
+from tpu_debruijn import kmer as KM
+from tpu_debruijn import sorting as S
+from tpu_debruijn.kmer import KmerSpec
+
+
+def pack_base_words(bases):
+    """(R, L) 2-bit codes -> (R, ceil(L/16)) uint32 words, 16 bases/word,
+    first base in the most significant bits (AVX2 pack kernel equivalent,
+    bitops_avx2.rs:9-42; layout note dna_string.rs:72 uses u64/32 bases —
+    uint32/16 bases is the TPU-native word size)."""
+    r, l = bases.shape
+    nw = -(-l // 16)
+    pad = nw * 16 - l
+    b = jnp.asarray(bases, jnp.uint32)
+    if pad:
+        b = jnp.pad(b, ((0, 0), (0, pad)))
+    b = b.reshape(r, nw, 16)
+    shifts = np.uint32(30) - np.uint32(2) * jnp.arange(16, dtype=jnp.uint32)
+    return (b << shifts).sum(axis=-1, dtype=jnp.uint32)
+
+
+def extract_kmers(spec: KmerSpec, bases, lengths, seq_exts):
+    """All kmers + extension bytes of a padded read batch.
+
+    Args:
+      bases: (R, L) int array of 2-bit codes (padding arbitrary)
+      lengths: (R,) actual read lengths
+      seq_exts: (R,) whole-read extension bytes (Exts of the read within its
+        parent string, for MSP substrings — filter.rs:116-124)
+
+    Returns (kmers (R, Lk, W) uint32, exts (R, Lk) int32, valid (R, Lk) bool)
+    where Lk = L - K + 1.  Position s holds the kmer starting at base s.
+    """
+    k, w, padbits = spec.k, spec.w, spec.pad
+    r, l = bases.shape
+    if l < k:
+        raise ValueError(f"padded read length {l} < K={k}")
+    lk = l - k + 1
+
+    words = pack_base_words(bases)  # (R, nw)
+    nw = words.shape[1]
+    # prepend one zero word (for windows that reach before the stream) and
+    # append enough zero words for the deepest limb access
+    pstream = jnp.pad(words, ((0, 0), (1, w + 1)))
+
+    # shifted[r2] = stream funnel-shifted left by 2*r2 bits
+    shifted = []
+    for r2 in range(16):
+        if r2 == 0:
+            shifted.append(pstream)
+        else:
+            cur = pstream << np.uint32(2 * r2)
+            nxt = jnp.pad(pstream[:, 1:], ((0, 0), (0, 1))) >> np.uint32(32 - 2 * r2)
+            shifted.append(cur | nxt)
+    shifted = jnp.stack(shifted, axis=0)  # (16, R, nw + w + 2)
+
+    s = jnp.arange(lk, dtype=jnp.int32)
+    u = s + (16 - padbits // 2)  # half-word offset incl. the prepended word
+    r_half = u % 16
+    q = u // 16
+    limbs = []
+    for j in range(w):
+        lj = shifted[r_half, :, q + j]  # (Lk, R)
+        limbs.append(lj.T)
+    kmers = jnp.stack(limbs, axis=-1)  # (R, Lk, W)
+    if padbits:
+        kmers = kmers.at[..., 0].set(kmers[..., 0] & spec.top_mask)
+
+    # extension bytes (KmerExtsIter semantics, lib.rs:809-842)
+    bases_i = jnp.asarray(bases, jnp.int32)
+    se = jnp.asarray(seq_exts, jnp.int32)[:, None]
+    lengths = jnp.asarray(lengths, jnp.int32)[:, None]
+
+    left_prev = bases_i[:, : lk - 1] if lk > 1 else bases_i[:, :0]
+    left_nib = jnp.concatenate(
+        [se & 0x0F, jnp.left_shift(1, left_prev)], axis=1
+    )
+    rb = bases_i[:, k:]  # base at s + k, shape (R, Lk - 1)
+    rb = jnp.pad(rb, ((0, 0), (0, 1)))
+    pos = s[None, :]
+    at_right_end = pos == (lengths - k)
+    right_nib = jnp.where(at_right_end, (se >> 4) & 0x0F, jnp.left_shift(1, rb))
+    exts = (left_nib & 0x0F) | ((right_nib & 0x0F) << 4)
+
+    valid = pos <= (lengths - k)
+    return kmers, exts.astype(jnp.int32), valid
+
+
+def canonicalize(spec: KmerSpec, kmers, exts, stranded: bool):
+    """min_rc_flip + Exts::rc on flip (filter.rs:190-196)."""
+    if stranded:
+        return kmers, exts, jnp.zeros(kmers.shape[:-1], bool)
+    ck, flip = KM.min_rc_flip(spec, kmers)
+    cexts = jnp.where(flip, E.rc(exts), exts)
+    return ck, cexts, flip
+
+
+@dataclasses.dataclass
+class KmerTableDev:
+    """Device-side padded kmer table (the BoomHashMap2 replacement).
+
+    ``kmers[:n_valid]`` are sorted unique valid kmers; slots beyond are
+    padding.  ``all_*`` arrays hold the full census (valid + censored),
+    used for sharded censored-ext repair (filter.rs:238-276).
+    """
+
+    spec: KmerSpec
+    stranded: bool
+    kmers: jnp.ndarray  # (n, W) uint32
+    exts: jnp.ndarray  # (n,) int32
+    counts: jnp.ndarray  # (n,) int32 (u16-saturated)
+    data: jnp.ndarray  # (n,) int32 label payload (segment-reduced)
+    n_valid: jnp.ndarray  # () int32
+    all_kmers: Optional[jnp.ndarray] = None  # (n, W) unique census
+    all_n: Optional[jnp.ndarray] = None
+
+
+jax.tree_util.register_dataclass(
+    KmerTableDev,
+    data_fields=["kmers", "exts", "counts", "data", "n_valid", "all_kmers", "all_n"],
+    meta_fields=["spec", "stranded"],
+)
+
+
+def count_kmers(
+    spec: KmerSpec,
+    bases,
+    lengths,
+    seq_exts,
+    labels,
+    *,
+    stranded: bool,
+    min_obs: int,
+    data_reduce: str = "label_first",
+) -> KmerTableDev:
+    """The filter_kmers pipeline body (jit-friendly; static shapes).
+
+    data_reduce: how to fold per-observation labels per kmer —
+      'label_first' (keep any one; CountFilter ignores data),
+      'min' / 'max' / 'sum'.
+    """
+    kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
+    kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
+
+    n = kmers.shape[0] * kmers.shape[1]
+    w = spec.w
+    kf = kmers.reshape(n, w)
+    ef = exts.reshape(n)
+    vf = valid.reshape(n)
+    lab = jnp.broadcast_to(
+        jnp.asarray(labels, jnp.int32)[:, None], valid.shape
+    ).reshape(n)
+
+    inv = (~vf).astype(jnp.uint32)
+    keys = [inv] + S.limbs_to_keys(kf)
+    (skeys, (sexts, slab)) = S.sort_with_payload(keys, [ef, lab])
+    sinv, slimbs = skeys[0], skeys[1:]
+    svalid = sinv == 0
+    skmers = S.keys_to_limbs(slimbs)
+
+    starts = S.run_starts(slimbs, svalid)
+    seg = S.segment_ids(starts, svalid)
+
+    counts = S.segment_sum(svalid.astype(jnp.int32), seg, n)
+    counts = jnp.minimum(counts, 65535)
+    uexts = S.segment_or8(sexts, seg, n)
+    if data_reduce == "label_first":
+        udata = S.segment_first(slab, seg, n, starts)
+    elif data_reduce == "min":
+        udata = S.segment_min(slab, seg, n, jnp.iinfo(jnp.int32).max)
+    elif data_reduce == "max":
+        udata = S.segment_max(slab, seg, n)
+    elif data_reduce == "sum":
+        udata = S.segment_sum(slab, seg, n)
+    else:
+        raise ValueError(data_reduce)
+    ukmers = jnp.zeros_like(skmers).at[seg].set(skmers, mode="drop")
+    n_unique = starts.sum().astype(jnp.int32)
+
+    slot = jnp.arange(n, dtype=jnp.int32)
+    is_unique = slot < n_unique
+    passes = is_unique & (counts >= min_obs)
+    n_valid, (vkmers, vexts, vcounts, vdata) = S.compact(
+        passes, [ukmers, uexts, counts, udata]
+    )
+
+    return KmerTableDev(
+        spec=spec,
+        stranded=stranded,
+        kmers=vkmers,
+        exts=vexts,
+        counts=vcounts,
+        data=vdata,
+        n_valid=n_valid,
+        all_kmers=ukmers,
+        all_n=n_unique,
+    )
+
+
+def remove_censored_exts_device(
+    spec: KmerSpec,
+    stranded: bool,
+    kmers,
+    exts,
+    n_valid,
+    all_kmers=None,
+    all_n=None,
+):
+    """Drop extensions pointing at censored kmers (filter.rs:238-306).
+
+    With ``all_kmers`` given: sharded semantics — an extension is censored
+    only if its target is present in the census but not valid
+    (remove_censored_exts_sharded, filter.rs:238-276).  Without: global
+    semantics — keep only extensions onto valid kmers (filter.rs:280-306).
+    """
+    new_exts = jnp.zeros_like(exts)
+    for d in (E.LEFT, E.RIGHT):
+        for b in range(4):
+            has = E.has_ext(exts, d, b)
+            cand = (
+                KM.extend_left(spec, kmers, b)
+                if d == E.LEFT
+                else KM.extend_right(spec, kmers, b)
+            )
+            if not stranded:
+                cand = KM.min_rc(spec, cand)
+            _, found_valid = S.searchsorted_limbs(kmers, cand, n_valid)
+            if all_kmers is not None:
+                _, found_all = S.searchsorted_limbs(all_kmers, cand, all_n)
+                censored = (~found_valid) & found_all
+                keep = has & ~censored
+            else:
+                keep = has & found_valid
+            new_exts = jnp.where(keep, E.set_ext(new_exts, d, b), new_exts)
+    return new_exts
+
+
+# ---------------------------------------------------------------------------
+# host-facing API
+# ---------------------------------------------------------------------------
+
+
+def pad_reads(
+    seqs: Sequence[np.ndarray], min_len: int, pad_to: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length base arrays into a padded (R, L) matrix."""
+    if not seqs:
+        raise ValueError("no sequences")
+    lengths = np.array([len(s) for s in seqs], dtype=np.int32)
+    l = max(int(lengths.max()), min_len)
+    if pad_to:
+        l = -(-l // pad_to) * pad_to
+    out = np.zeros((len(seqs), l), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = np.asarray(s, dtype=np.uint8)
+    return out, lengths
+
+
+@dataclasses.dataclass
+class KmerTable:
+    """Host view of a filtered kmer table (trimmed numpy arrays)."""
+
+    spec: KmerSpec
+    stranded: bool
+    kmers: np.ndarray  # (n, W)
+    exts: np.ndarray  # (n,)
+    counts: np.ndarray  # (n,)
+    data: np.ndarray  # (n,)
+    all_kmers: Optional[np.ndarray] = None
+
+    def __len__(self):
+        return len(self.kmers)
+
+    def kmer_ints(self) -> List[int]:
+        return [KM.to_int(self.spec, self.kmers[i]) for i in range(len(self))]
+
+    def to_tuples(self):
+        return [
+            (KM.to_int(self.spec, self.kmers[i]), int(self.exts[i]), int(self.counts[i]))
+            for i in range(len(self))
+        ]
+
+
+def filter_kmers(
+    seqs,
+    k: int,
+    *,
+    stranded: bool = False,
+    min_obs: int = 1,
+    report_all: bool = False,
+    data_reduce: str = "label_first",
+) -> KmerTable:
+    """Host wrapper: list of (bases, seq_exts, label) -> KmerTable.
+
+    Mirrors filter_kmers (filter.rs:139) with a CountFilter(min_obs)
+    summarizer; counts are carried alongside whatever ``data_reduce``
+    produces from the labels.
+    """
+    spec = KmerSpec(k)
+    items = [s for s in seqs if len(s[0]) >= k]
+    if not items:
+        return KmerTable(
+            spec,
+            stranded,
+            np.zeros((0, spec.w), np.uint32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            all_kmers=np.zeros((0, spec.w), np.uint32) if report_all else None,
+        )
+    bases, lengths = pad_reads([s[0] for s in items], min_len=k, pad_to=16)
+    seq_exts = np.array([s[1] for s in items], dtype=np.int32)
+    labels = np.array([s[2] for s in items], dtype=np.int32)
+
+    dev = _count_kmers_jit(
+        spec, stranded, min_obs, data_reduce, bases, lengths, seq_exts, labels
+    )
+    n = int(dev.n_valid)
+    table = KmerTable(
+        spec=spec,
+        stranded=stranded,
+        kmers=np.asarray(dev.kmers)[:n],
+        exts=np.asarray(dev.exts)[:n],
+        counts=np.asarray(dev.counts)[:n],
+        data=np.asarray(dev.data)[:n],
+    )
+    if report_all:
+        table.all_kmers = np.asarray(dev.all_kmers)[: int(dev.all_n)]
+    return table
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _count_kmers_jit(spec, stranded, min_obs, data_reduce, bases, lengths, seq_exts, labels):
+    return count_kmers(
+        spec,
+        bases,
+        lengths,
+        seq_exts,
+        labels,
+        stranded=stranded,
+        min_obs=min_obs,
+        data_reduce=data_reduce,
+    )

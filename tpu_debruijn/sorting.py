@@ -1,0 +1,163 @@
+"""Sort-based join primitives: the TPU replacement for the reference's
+hash maps (boomphf) and per-bucket sorts (filter.rs:206).
+
+* multi-limb lexicographic sort (``jax.lax.sort`` with num_keys)
+* vectorized binary search over sorted limb arrays (replaces
+  BoomHashMap::get / get_key_id lookups, graph.rs:244-249)
+* segmented reductions over sorted runs (replaces itertools group_by +
+  summarizer loops, filter.rs:208-219)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sort_with_payload(keys, payloads=(), num_key_arrays=None):
+    """Sort rows by lexicographic key tuple, carrying payload arrays.
+
+    ``keys``: list of (n,) arrays, most-significant first.
+    Returns (sorted_keys, sorted_payloads).
+    """
+    keys = list(keys)
+    payloads = list(payloads)
+    nk = len(keys) if num_key_arrays is None else num_key_arrays
+    out = jax.lax.sort(keys + payloads, num_keys=nk, is_stable=True)
+    return out[: len(keys)], out[len(keys) :]
+
+
+def limbs_to_keys(limbs):
+    """(n, W) limb array -> list of W (n,) key arrays."""
+    return [limbs[:, i] for i in range(limbs.shape[1])]
+
+
+def keys_to_limbs(keys):
+    return jnp.stack(keys, axis=1)
+
+
+def lex_lt(a_keys, b_keys):
+    """Elementwise lexicographic < over equal-length key tuples."""
+    res = jnp.zeros(a_keys[0].shape, dtype=bool)
+    eq = jnp.ones(a_keys[0].shape, dtype=bool)
+    for a, b in zip(a_keys, b_keys):
+        res = res | (eq & (a < b))
+        eq = eq & (a == b)
+    return res
+
+
+def lex_eq(a_keys, b_keys):
+    eq = jnp.ones(a_keys[0].shape, dtype=bool)
+    for a, b in zip(a_keys, b_keys):
+        eq = eq & (a == b)
+    return eq
+
+
+def searchsorted_limbs(sorted_limbs, query_limbs, n_valid=None):
+    """Vectorized lower-bound binary search over a sorted (n, W) limb array.
+
+    Returns (idx, found): idx = first position with sorted >= query
+    (lower bound), found = idx in range and exact match.  ``n_valid`` bounds
+    the logical length (entries beyond are treated as +inf; they must sort
+    after all valid entries — callers ensure this by padding with 0xFF..FF
+    or by passing n_valid).
+    """
+    n, w = sorted_limbs.shape
+    m = query_limbs.shape[0]
+    hi0 = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
+    lo = jnp.zeros(m, dtype=jnp.int32)
+    hi = jnp.broadcast_to(hi0, (m,))
+
+    qkeys = limbs_to_keys(query_limbs)
+    steps = max(1, math.ceil(math.log2(max(n, 1) + 1)))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        midv = sorted_limbs[jnp.clip(mid, 0, n - 1)]
+        mkeys = [midv[:, i] for i in range(w)]
+        is_lt = lex_lt(mkeys, qkeys)  # sorted[mid] < q
+        lo = jnp.where(is_lt, mid + 1, lo)
+        hi = jnp.where(is_lt, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    idx = lo
+    inb = idx < hi0
+    atv = sorted_limbs[jnp.clip(idx, 0, n - 1)]
+    found = inb & lex_eq([atv[:, i] for i in range(w)], qkeys)
+    return idx, found
+
+
+def run_starts(key_arrays, valid):
+    """True at the first element of each run of equal keys (among valid).
+
+    Assumes invalid entries are sorted to the end.
+    """
+    n = key_arrays[0].shape[0]
+    prev = [jnp.concatenate([k[:1], k[:-1]]) for k in key_arrays]
+    differs = ~lex_eq(key_arrays, prev)
+    first = jnp.zeros(n, bool).at[0].set(True)
+    return valid & (first | differs)
+
+
+def segment_ids(starts, valid):
+    """Segment id per element; invalid elements get id = n (drop slot)."""
+    n = starts.shape[0]
+    seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    return jnp.where(valid, seg, n)
+
+
+def segment_sum(vals, seg, n):
+    return jnp.zeros((n,) + vals.shape[1:], vals.dtype).at[seg].add(vals, mode="drop")
+
+
+def segment_max(vals, seg, n, init=0):
+    return (
+        jnp.full((n,) + vals.shape[1:], init, vals.dtype)
+        .at[seg]
+        .max(vals, mode="drop")
+    )
+
+
+def segment_min(vals, seg, n, init):
+    return (
+        jnp.full((n,) + vals.shape[1:], init, vals.dtype)
+        .at[seg]
+        .min(vals, mode="drop")
+    )
+
+
+def segment_or8(vals, seg, n):
+    """Segmented bitwise-OR of 8-bit values (the Exts fold, filter.rs:53-59)."""
+    bits = jnp.stack([(vals >> b) & 1 for b in range(8)], axis=-1)
+    sums = segment_sum(bits, seg, n)
+    acc = jnp.zeros(n, vals.dtype)
+    for b in range(8):
+        acc = acc | ((sums[:, b] > 0).astype(vals.dtype) << b)
+    return acc
+
+
+def segment_first(vals, seg, n, starts):
+    """Value of the first element of each segment (scatter from starts)."""
+    out = jnp.zeros((n,) + vals.shape[1:], vals.dtype)
+    idx = jnp.where(starts, seg, n)
+    return out.at[idx].set(vals, mode="drop")
+
+
+def compact(mask, arrays, fill=0):
+    """Stable-compact rows where mask is True to the front of each array.
+
+    Returns (count, compacted_arrays); tail slots are ``fill``.
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = jnp.where(mask, pos, n)
+    outs = []
+    for a in arrays:
+        out = jnp.full(a.shape, fill, a.dtype).at[idx].set(a, mode="drop")
+        outs.append(out)
+    return mask.sum().astype(jnp.int32), outs
