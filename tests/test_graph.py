@@ -1,0 +1,257 @@
+"""Graph layer tests: indexes, edges, fix_exts, is_compressed,
+node-level re-compression, tip cleaning, walks, exports, checkpoint.
+
+Mirrors simplify_from_kmers (test.rs:233-295), reassemble_sharded
+(test.rs:418-504), and simple_tip_clean (test.rs:506-572).
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from tpu_debruijn import clean as CL
+from tpu_debruijn import compress as C
+from tpu_debruijn import filter as F
+from tpu_debruijn import graph as G
+from tpu_debruijn import kmer as KM
+from tpu_debruijn import msp as M
+from tpu_debruijn.oracle import ref as O
+
+
+def _table_and_graph(contigs, k, stranded, minobs=1):
+    seqs = [(np.array(c, dtype=np.uint8), 0, 0) for c in contigs if len(c) >= k]
+    tab = F.filter_kmers(seqs + seqs, k, stranded=stranded, min_obs=minobs)
+    nodes = C.compress_kmers(tab)
+    return tab, G.from_compress_output(k, stranded, nodes).finish()
+
+
+def _canon_nodes(g):
+    """Graph as an orientation-canonical multiset of (seq, exts, data)."""
+    out = []
+    for i in range(len(g)):
+        seq = g.base.sequences.get_bases(i)
+        e = int(g.exts[i])
+        rseq = tuple(int(x) for x in (3 - seq[::-1]))
+        fseq = tuple(int(x) for x in seq)
+        re = O.e_rc(e)
+        d = int(g.data[i])
+        out.append(min((fseq, e, d), (rseq, re, d)))
+    return sorted(out)
+
+
+def test_compressed_graph_is_compressed(rng):
+    contigs = O.random_contigs(rng)
+    for k, stranded in [(16, False), (16, True)]:
+        tab, g = _table_and_graph(contigs, k, stranded)
+        assert g.is_compressed() is None
+
+
+def test_uncompressed_graph_recompresses_to_same(rng):
+    # simplify_from_kmers (test.rs:233-295): build a 1-node-per-kmer graph,
+    # compress_graph it, and compare with direct kmer-level compression
+    contigs = O.simple_random_contigs(rng)
+    for k, stranded in [(16, False), (31, False), (16, True)]:
+        seqs = [(np.array(c, dtype=np.uint8), 0, 0) for c in contigs]
+        tab = F.filter_kmers(seqs, k, stranded=stranded, min_obs=1)
+        direct = C.compress_kmers(tab, data_reduce="sum_sat_u16")
+        g1 = G.BaseGraph(k, stranded)
+        for i in range(len(tab)):
+            g1.add(KM.to_bases(tab.spec, tab.kmers[i]), int(tab.exts[i]),
+                   int(tab.counts[i]))
+        dbg = g1.finish()
+        if len(tab) > 1:
+            assert dbg.is_compressed() is not None  # collapsible pairs exist
+        simp = G.compress_graph(dbg, None, data_reduce="sum_sat_u16")
+        assert simp.is_compressed() is None
+        want = G.from_compress_output(k, stranded, direct).finish()
+        assert _canon_nodes(simp) == _canon_nodes(want)
+
+
+def test_find_link_and_edges(rng):
+    contigs = O.random_contigs(rng)
+    k = 16
+    tab, g = _table_and_graph(contigs, k, False)
+    kmer_ids = {}
+    for i in range(len(g)):
+        kmer_ids[KM.to_int(g.spec, g.first_kmers[i])] = i
+    # find_link on each node's own first kmer entering from the left
+    for i in range(min(len(g), 20)):
+        fk = g.first_kmers[i]
+        res = g.find_link(fk, G.RIGHT)  # kmer appearing at left side of a node
+        assert res is not None
+        tid, side, flip = res
+        if not flip:
+            assert side == G.LEFT and tid == i
+    # every listed edge is reciprocal: target lists us back (palindromic
+    # single-kmer nodes may list the back edge on either side — the
+    # reference's find_link has the same side collapse, graph.rs:252-257)
+    for i in range(min(len(g), 30)):
+        for d in (G.LEFT, G.RIGHT):
+            for (tid, tin, flip) in g.get_node(i).edges(d):
+                back = g.get_node(tid).edges(tin) + g.get_node(tid).edges(1 - tin)
+                assert any(b[0] == i for b in back)
+
+
+def test_fix_exts_drops_dangling(rng):
+    contigs = O.random_contigs(rng)
+    k = 16
+    seqs = [(np.array(c, dtype=np.uint8), 0, 0) for c in contigs if len(c) >= k]
+    # min_obs 2 with uneven coverage leaves dangling exts onto censored kmers
+    tab = F.filter_kmers(seqs + seqs + [seqs[0]], k, stranded=False, min_obs=2)
+    nodes = C.compress_kmers(tab)
+    g = G.from_compress_output(k, False, nodes).finish()
+    g.fix_exts(None)
+    # after fix_exts every ext must resolve to an edge
+    t, s, f, ex = g._edge_table()
+    for i in range(len(g)):
+        e = int(g.exts[i])
+        for d in (0, 1):
+            for b in range(4):
+                if O.e_dir_bits(e, d) & (1 << b):
+                    assert ex[i, d, b]
+
+
+def test_sequence_of_path_and_max_path(rng):
+    # linear genome -> one unitig; max_path returns it
+    genome = rng.integers(0, 4, 300)
+    k = 21
+    tab = F.filter_kmers([(genome, 0, 0)], k, stranded=True, min_obs=1)
+    nodes = C.compress_kmers(tab)
+    g = G.from_compress_output(k, True, nodes).finish()
+    assert len(g) == 1
+    path = g.max_path(lambda d: float(d), lambda d: True)
+    assert [p for p, _ in path] == [0]
+    seq = g.sequence_of_path(path)
+    assert np.array_equal(seq.bases(), genome) or np.array_equal(
+        seq.rc().bases(), genome
+    )
+    beam = g.max_path_beam(4, lambda d: float(d), lambda d: True)
+    assert [p for p, _ in beam] == [0]
+
+
+def test_tip_cleaning(rng):
+    # test.rs:506-572: 5x clean coverage + junk-truncated reads -> tips
+    k = 16
+    contigs = [rng.integers(0, 4, 200), rng.integers(0, 4, 200)]
+    clean_seqs, all_seqs = [], []
+    for c in contigs:
+        for _ in range(5):
+            clean_seqs.append((c, 0, 0))
+            all_seqs.append((c, 0, 0))
+        junk = rng.integers(0, 4, 5)
+        err = np.concatenate([c[: len(c) // 2], junk])
+        all_seqs.append((err, 0, 0))
+        all_seqs.append((err, 0, 0))
+    tab_clean = F.filter_kmers(clean_seqs, k, stranded=False, min_obs=2)
+    g_clean = G.from_compress_output(
+        k, False, C.compress_kmers(tab_clean)
+    ).finish()
+    tab_all = F.filter_kmers(all_seqs, k, stranded=False, min_obs=2)
+    g_all = G.from_compress_output(k, False, C.compress_kmers(tab_all)).finish()
+    fixed = CL.clean_tips(g_all, lambda node: node.len() < k * 2)
+    assert fixed.is_compressed() is None
+    # cleaned graph's kmer set is contained in the dirty one and contains
+    # the clean one up to junction splitting
+    def kmers_of(g):
+        out = set()
+        for i in range(len(g)):
+            s = g.base.sequences.get_bases(i)
+            v = O.OKmer.from_bases(s[:k])
+            out.add(O.OKmer.min_rc(k, v))
+            for b in s[k:]:
+                v = O.OKmer.extend_right(k, v, int(b))
+                out.add(O.OKmer.min_rc(k, v))
+        return out
+    assert kmers_of(fixed) <= kmers_of(g_all)
+
+
+def test_sharded_reassembly_matches_unsharded(rng):
+    # reassemble_sharded (test.rs:418-504) via MSP buckets
+    k, p = 16, 6
+    contigs = O.simple_random_contigs(rng)
+    # truth: unsharded
+    seqs = [(np.array(c, np.uint8), 0, 0) for c in contigs]
+    tab = F.filter_kmers(seqs + seqs, k, stranded=False, min_obs=2)
+    truth = G.from_compress_output(
+        k, False, C.compress_kmers(tab, data_reduce="max")
+    ).finish()
+    truth_set = _canon_kmer_set(truth, k)
+
+    # sharded: msp partition -> per-bucket filter+compress -> combine -> stitch
+    shards = {}
+    for c in contigs:
+        for bucket, exts, sub in M.msp_sequence(np.array(c, np.uint8), k, p, None, True):
+            shards.setdefault(bucket, []).append((sub, exts, 0))
+            shards.setdefault(bucket, []).append((sub, exts, 0))
+    shard_graphs = []
+    for bucket, ss in sorted(shards.items()):
+        st = F.filter_kmers(ss, k, stranded=False, min_obs=2)
+        if len(st) == 0:
+            continue
+        nodes = C.compress_kmers(st, data_reduce="max")
+        shard_graphs.append(G.from_compress_output(k, False, nodes))
+    combined = G.BaseGraph.combine(shard_graphs).finish()
+    stitched = G.compress_graph(combined, None, data_reduce="max")
+    assert stitched.is_compressed() is None
+    assert _canon_kmer_set(stitched, k) == truth_set
+    assert _canon_nodes(stitched) == _canon_nodes(truth)
+
+
+def _canon_kmer_set(g, k):
+    out = set()
+    for i in range(len(g)):
+        s = g.base.sequences.get_bases(i)
+        v = O.OKmer.from_bases(s[:k])
+        out.add(O.OKmer.min_rc(k, v))
+        for b in s[k:]:
+            v = O.OKmer.extend_right(k, v, int(b))
+            out.add(O.OKmer.min_rc(k, v))
+    return out
+
+
+def test_gfa_dot_json_export(tmp_path, rng):
+    contigs = O.simple_random_contigs(rng)
+    _, g = _table_and_graph(contigs, 16, False)
+    gfa = tmp_path / "g.gfa"
+    g.to_gfa(gfa)
+    lines = gfa.read_text().splitlines()
+    assert lines[0].startswith("H\t")
+    s_lines = [l for l in lines if l.startswith("S\t")]
+    l_lines = [l for l in lines if l.startswith("L\t")]
+    assert len(s_lines) == len(g)
+    for l in s_lines:
+        parts = l.split("\t")
+        assert set(parts[2]) <= set("ACGT")
+    for l in l_lines:
+        parts = l.split("\t")
+        assert parts[5] == "15M"  # K-1 overlap
+    dot = tmp_path / "g.dot"
+    g.to_dot(dot, lambda d: str(d))
+    assert dot.read_text().startswith("digraph {")
+    buf = io.StringIO()
+    g.to_json(lambda d: d, buf)
+    j = json.loads(buf.getvalue())
+    assert len(j["nodes"]) == len(g)
+    # tags export
+    tagged = tmp_path / "t.gfa"
+    g.to_gfa_with_tags(tagged, lambda node: f"RC:i:{node.data()}")
+    assert "RC:i:" in tagged.read_text()
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    contigs = O.simple_random_contigs(rng)
+    _, g = _table_and_graph(contigs, 16, False)
+    p = tmp_path / "graph.npz"
+    g.save(p)
+    g2 = G.DebruijnGraph.load(p)
+    assert _canon_nodes(g2) == _canon_nodes(g)
+    assert g2.spec.k == g.spec.k and g2.stranded == g.stranded
+
+
+def test_combine_rejects_mixed_strandedness():
+    a = G.BaseGraph(16, True)
+    b = G.BaseGraph(16, False)
+    with pytest.raises(ValueError):
+        G.BaseGraph.combine([a, b])

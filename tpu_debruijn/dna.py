@@ -1,0 +1,205 @@
+"""Packed DNA sequence containers (L2 host/IO layer).
+
+Capability-equivalent to the reference's DnaString / DnaStringSlice /
+PackedDnaStringSet (/root/reference/src/dna_string.rs:72-822): arbitrary
+length 2-bit packed sequences with slicing, reverse complement, kmer
+extraction, and a many-sequences-in-one-buffer set used as unitig storage.
+
+Storage is uint32 words, 16 bases per word, first base in the most
+significant bits (the TPU-native word size; the reference uses u64/32).
+These are host-side containers — the device pipeline consumes the padded
+base matrices / limb arrays directly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+from tpu_debruijn import bases as B
+from tpu_debruijn import kmer as KM
+from tpu_debruijn.kmer import KmerSpec
+
+
+def pack_bases(bases: np.ndarray) -> np.ndarray:
+    """(L,) 2-bit codes -> (ceil(L/16),) uint32 words (MSB-first)."""
+    bases = np.asarray(bases, np.uint32)
+    l = len(bases)
+    nw = -(-l // 16) if l else 0
+    buf = np.zeros(nw * 16, np.uint32)
+    buf[:l] = bases
+    buf = buf.reshape(nw, 16)
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+    return (buf << shifts).sum(axis=1, dtype=np.uint32)
+
+
+def unpack_bases(words: np.ndarray, length: int) -> np.ndarray:
+    """(nw,) uint32 words -> (length,) 2-bit codes."""
+    words = np.asarray(words, np.uint32)
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+    all_b = ((words[:, None] >> shifts[None, :]) & 3).reshape(-1)
+    return all_b[:length].astype(np.uint8)
+
+
+class DnaSeq:
+    """A 2-bit packed DNA sequence (DnaString equivalent, dna_string.rs:72).
+
+    Also covers the DnaBytes/DnaSlice/Lmer roles (lib.rs:428-533, vmer.rs):
+    any base buffer converts via from_bases; slices are cheap numpy views.
+    """
+
+    __slots__ = ("words", "length")
+
+    def __init__(self, words: np.ndarray, length: int):
+        self.words = words
+        self.length = int(length)
+
+    # constructors -------------------------------------------------------
+    @staticmethod
+    def from_bases(bases) -> "DnaSeq":
+        bases = np.asarray(bases, np.uint8)
+        return DnaSeq(pack_bases(bases), len(bases))
+
+    @staticmethod
+    def from_dna_string(s: str) -> "DnaSeq":
+        """ACGT string (unknown chars -> A; dna_string.rs:187)."""
+        return DnaSeq.from_bases(B.ascii_to_bases(s))
+
+    @staticmethod
+    def from_dna_only_string(s: str) -> List["DnaSeq"]:
+        """Split on non-ACGT characters (dna_string.rs:198)."""
+        if isinstance(s, str):
+            s = s.encode()
+        arr = np.frombuffer(bytes(s), dtype=np.uint8)
+        valid = B._ASCII_VALID[arr]
+        out = []
+        start = None
+        for i, v in enumerate(valid):
+            if v and start is None:
+                start = i
+            elif not v and start is not None:
+                out.append(DnaSeq.from_bases(B._ASCII_TO_BITS[arr[start:i]]))
+                start = None
+        if start is not None:
+            out.append(DnaSeq.from_bases(B._ASCII_TO_BITS[arr[start:]]))
+        return out
+
+    @staticmethod
+    def blank(length: int) -> "DnaSeq":
+        return DnaSeq.from_bases(np.zeros(length, np.uint8))
+
+    # accessors ----------------------------------------------------------
+    def __len__(self):
+        return self.length
+
+    def is_empty(self) -> bool:
+        return self.length == 0
+
+    def bases(self) -> np.ndarray:
+        return unpack_bases(self.words, self.length)
+
+    def get(self, pos: int) -> int:
+        w, o = divmod(pos, 16)
+        return int((self.words[w] >> np.uint32(30 - 2 * o)) & 3)
+
+    def get_kmer(self, k: int, pos: int) -> np.ndarray:
+        """Kmer limbs at position pos (Vmer::get_kmer, lib.rs:366)."""
+        return KM.from_bases(KmerSpec(k), self.bases()[pos : pos + k])
+
+    def first_kmer(self, k: int) -> np.ndarray:
+        return self.get_kmer(k, 0)
+
+    def last_kmer(self, k: int) -> np.ndarray:
+        return self.get_kmer(k, self.length - k)
+
+    def iter_kmers(self, k: int):
+        b = self.bases()
+        spec = KmerSpec(k)
+        for i in range(self.length - k + 1):
+            yield KM.from_bases(spec, b[i : i + k])
+
+    def slice(self, start: int, end: int) -> "DnaSeq":
+        return DnaSeq.from_bases(self.bases()[start:end])
+
+    def prefix(self, n: int) -> "DnaSeq":
+        return self.slice(0, n)
+
+    def suffix(self, n: int) -> "DnaSeq":
+        return self.slice(self.length - n, self.length)
+
+    def rc(self) -> "DnaSeq":
+        return DnaSeq.from_bases((3 - self.bases()[::-1]).astype(np.uint8))
+
+    def reverse(self) -> "DnaSeq":
+        return DnaSeq.from_bases(self.bases()[::-1])
+
+    def hamming_distance(self, other: "DnaSeq") -> int:
+        return int((self.bases() != other.bases()).sum())
+
+    def to_dna_string(self) -> str:
+        return B.bases_to_str(self.bases())
+
+    def to_ascii(self) -> bytes:
+        return B.bases_to_ascii(self.bases())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, DnaSeq)
+            and self.length == other.length
+            and np.array_equal(self.bases(), other.bases())
+        )
+
+    def __repr__(self):
+        s = self.to_dna_string()
+        return s if len(s) <= 60 else s[:57] + "..."
+
+
+class PackedSeqSet:
+    """Many sequences in one packed buffer (PackedDnaStringSet,
+    dna_string.rs:762-822).  The unitig storage of the graph."""
+
+    def __init__(self):
+        self._bases = np.zeros(0, np.uint8)
+        self.start: List[int] = []
+        self.length: List[int] = []
+        self._chunks: List[np.ndarray] = []
+
+    @staticmethod
+    def from_arrays(seqs: Iterable[np.ndarray]) -> "PackedSeqSet":
+        s = PackedSeqSet()
+        for q in seqs:
+            s.add(q)
+        return s
+
+    def add(self, bases) -> None:
+        bases = np.asarray(bases, np.uint8)
+        self.start.append(sum(self.length))
+        self.length.append(len(bases))
+        self._chunks.append(bases)
+
+    def _flat(self) -> np.ndarray:
+        if self._chunks:
+            self._bases = np.concatenate([self._bases] + self._chunks)
+            self._chunks = []
+        return self._bases
+
+    def __len__(self):
+        return len(self.start)
+
+    def is_empty(self) -> bool:
+        return not self.start
+
+    def get_bases(self, i: int) -> np.ndarray:
+        flat = self._flat()
+        return flat[self.start[i] : self.start[i] + self.length[i]]
+
+    def get(self, i: int) -> DnaSeq:
+        return DnaSeq.from_bases(self.get_bases(i))
+
+    def packed_words(self) -> np.ndarray:
+        """Whole buffer as packed uint32 words (checkpoint format)."""
+        return pack_bases(self._flat())
+
+    def total_bases(self) -> int:
+        return int(sum(self.length))

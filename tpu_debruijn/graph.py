@@ -1,0 +1,719 @@
+"""Path-compressed De Bruijn graph containers and traversal (L4/L5).
+
+Reference: /root/reference/src/graph.rs.  ``BaseGraph`` is the SoA unitig
+store (graph.rs:44-114); ``DebruijnGraph`` adds walkability
+(graph.rs:172-342).  Where the reference indexes node end-kmers with two
+minimal-perfect-hash maps (BoomHashMap, graph.rs:117-141), this build
+keeps two *sorted* end-kmer limb arrays + id permutations and resolves
+links with vectorized binary search — `find_link` (graph.rs:252-291)
+becomes a batched device op, and the full edge table of the graph is
+materialized in one shot for host traversal.
+
+Node-level re-compression (`compress_graph`, the shard-merge/tip-clean
+path, compression.rs:100-349) reuses the same pointer-doubling chain
+machinery as kmer-level compression.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_debruijn import bases as B
+from tpu_debruijn import compress as C
+from tpu_debruijn import exts as E
+from tpu_debruijn import kmer as KM
+from tpu_debruijn import sorting as S
+from tpu_debruijn.dna import DnaSeq, PackedSeqSet
+from tpu_debruijn.exts import Dir, Exts
+from tpu_debruijn.kmer import KmerSpec
+
+LEFT, RIGHT = E.LEFT, E.RIGHT
+
+
+class BaseGraph:
+    """SoA unitig store: sequences + per-node Exts + per-node data.
+
+    graph.rs:44-114 equivalent (data is an int32 payload; richer data
+    lives host-side keyed by node id).
+    """
+
+    def __init__(self, k: int, stranded: bool):
+        self.spec = KmerSpec(k)
+        self.stranded = stranded
+        self.sequences = PackedSeqSet()
+        self.exts: List[int] = []
+        self.data: List[int] = []
+
+    def __len__(self):
+        return len(self.sequences)
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def add(self, bases, exts: int, data: int = 0) -> None:
+        self.sequences.add(np.asarray(bases, np.uint8))
+        self.exts.append(int(exts))
+        self.data.append(int(data))
+
+    @staticmethod
+    def combine(graphs: Sequence["BaseGraph"]) -> "BaseGraph":
+        """Concatenate shard graphs (graph.rs:71-101); mixed strandedness
+        is an error."""
+        graphs = list(graphs)
+        if not graphs:
+            raise ValueError("no graphs to combine")
+        strandeds = {g.stranded for g in graphs}
+        if len(strandeds) != 1:
+            raise ValueError("attempted to combine stranded and unstranded graphs")
+        out = BaseGraph(graphs[0].spec.k, graphs[0].stranded)
+        for g in graphs:
+            for i in range(len(g)):
+                out.add(g.sequences.get_bases(i), g.exts[i], g.data[i])
+        return out
+
+    def finish(self) -> "DebruijnGraph":
+        """Build the sorted end-kmer indexes (graph.rs:117-141)."""
+        return DebruijnGraph(self)
+
+
+def from_compress_output(k: int, stranded: bool, nodes) -> BaseGraph:
+    """Wrap compress.compress_kmers output [(bases, exts, data)]."""
+    g = BaseGraph(k, stranded)
+    for seq, exts, data in nodes:
+        g.add(seq, exts, data)
+    return g
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _link_and_edges(spec, stranded, lk_sorted, lk_ids, rk_sorted, rk_ids,
+                    first_k, last_k, exts):
+    """All edges of the graph in one batch.
+
+    For each node, dir, base: the find_link result of term_kmer.extend
+    (graph.rs:223-241).  Returns (target, in_side, flip, exists) with
+    shape (N, 2, 4).
+    """
+    n = first_k.shape[0]
+    targets = []
+    insides = []
+    flips = []
+    exist = []
+    for d in (LEFT, RIGHT):
+        term = first_k if d == LEFT else last_k
+        for b in range(4):
+            cand = (
+                KM.extend_left(spec, term, np.uint32(b))
+                if d == LEFT
+                else KM.extend_right(spec, term, np.uint32(b))
+            )
+            t, side, fl, ok = _find_link_device(
+                spec, stranded, d, cand, lk_sorted, lk_ids, rk_sorted, rk_ids
+            )
+            has = E.has_ext(exts, d, b)
+            targets.append(t)
+            insides.append(side)
+            flips.append(fl)
+            exist.append(ok & has)
+    shape = (2, 4, n)
+    return (
+        jnp.stack(targets).reshape(shape).transpose(2, 0, 1),
+        jnp.stack(insides).reshape(shape).transpose(2, 0, 1),
+        jnp.stack(flips).reshape(shape).transpose(2, 0, 1),
+        jnp.stack(exist).reshape(shape).transpose(2, 0, 1),
+    )
+
+
+def _find_link_device(spec, stranded, d, kmers, lk_sorted, lk_ids, rk_sorted, rk_ids):
+    """Batched find_link (graph.rs:252-291): same-strand probe first,
+    then the rc probe in unstranded graphs."""
+    if d == LEFT:
+        prim_sorted, prim_ids, prim_side = rk_sorted, rk_ids, RIGHT
+        sec_sorted, sec_ids, sec_side = lk_sorted, lk_ids, LEFT
+    else:
+        prim_sorted, prim_ids, prim_side = lk_sorted, lk_ids, LEFT
+        sec_sorted, sec_ids, sec_side = rk_sorted, rk_ids, RIGHT
+    i1, f1 = S.searchsorted_limbs(prim_sorted, kmers)
+    t1 = prim_ids[jnp.clip(i1, 0, prim_ids.shape[0] - 1)]
+    if stranded:
+        return t1, jnp.full_like(t1, prim_side), jnp.zeros_like(f1), f1
+    rck = KM.rc(spec, kmers)
+    i2, f2 = S.searchsorted_limbs(sec_sorted, rck)
+    t2 = sec_ids[jnp.clip(i2, 0, sec_ids.shape[0] - 1)]
+    target = jnp.where(f1, t1, t2)
+    side = jnp.where(f1, prim_side, sec_side)
+    flip = (~f1) & f2
+    return target, side, flip, f1 | f2
+
+
+class DebruijnGraph:
+    """Walkable compressed graph: BaseGraph + sorted end-kmer indexes."""
+
+    def __init__(self, base: BaseGraph):
+        self.base = base
+        self.spec = base.spec
+        self.stranded = base.stranded
+        n = len(base)
+        k = self.spec.k
+        w = self.spec.w
+        first = np.zeros((n, k), np.uint8)
+        last = np.zeros((n, k), np.uint8)
+        for i in range(n):
+            bs = base.sequences.get_bases(i)
+            first[i] = bs[:k]
+            last[i] = bs[-k:]
+        self.first_kmers = KM.from_bases_batch_np(self.spec, first) if n else np.zeros((0, w), np.uint32)
+        self.last_kmers = KM.from_bases_batch_np(self.spec, last) if n else np.zeros((0, w), np.uint32)
+        self.exts = np.asarray(base.exts, np.int32)
+        self.data = np.asarray(base.data, np.int32)
+
+        order_l = self._sort_ids(self.first_kmers)
+        order_r = self._sort_ids(self.last_kmers)
+        self._lk_sorted = self.first_kmers[order_l]
+        self._lk_ids = order_l.astype(np.int32)
+        self._rk_sorted = self.last_kmers[order_r]
+        self._rk_ids = order_r.astype(np.int32)
+        self._edges = None
+
+    @staticmethod
+    def _sort_ids(kmers: np.ndarray) -> np.ndarray:
+        if len(kmers) == 0:
+            return np.zeros(0, np.int64)
+        return np.lexsort(tuple(kmers[:, i] for i in range(kmers.shape[1] - 1, -1, -1)))
+
+    # -- basic accessors -------------------------------------------------
+    def __len__(self):
+        return len(self.base)
+
+    def is_empty(self):
+        return len(self) == 0
+
+    def get_node(self, node_id: int) -> "Node":
+        return Node(node_id, self)
+
+    def iter_nodes(self):
+        for i in range(len(self)):
+            yield Node(i, self)
+
+    # -- link resolution -------------------------------------------------
+    def _edge_table(self):
+        if self._edges is None:
+            if len(self) == 0:
+                z = np.zeros((0, 2, 4), np.int32)
+                self._edges = (z, z, z.astype(bool), z.astype(bool))
+            else:
+                t, s, f, ex = _link_and_edges(
+                    self.spec, self.stranded,
+                    jnp.asarray(self._lk_sorted), jnp.asarray(self._lk_ids),
+                    jnp.asarray(self._rk_sorted), jnp.asarray(self._rk_ids),
+                    jnp.asarray(self.first_kmers), jnp.asarray(self.last_kmers),
+                    jnp.asarray(self.exts),
+                )
+                self._edges = (
+                    np.asarray(t), np.asarray(s),
+                    np.asarray(f).astype(bool), np.asarray(ex).astype(bool),
+                )
+        return self._edges
+
+    def search_kmer(self, kmer_limbs: np.ndarray, side: int) -> Optional[int]:
+        """graph.rs:244-249: exact lookup of a node end kmer."""
+        arr, ids = (
+            (self._lk_sorted, self._lk_ids)
+            if side == LEFT
+            else (self._rk_sorted, self._rk_ids)
+        )
+        if len(arr) == 0:
+            return None
+        keys = tuple(arr[:, i] for i in range(arr.shape[1]))
+        lo, hi = 0, len(arr)
+        q = tuple(int(x) for x in kmer_limbs)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if tuple(int(k[mid]) for k in keys) < q:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(arr) and tuple(int(k[lo]) for k in keys) == q:
+            return int(ids[lo])
+        return None
+
+    def find_link(self, kmer_limbs: np.ndarray, d: int):
+        """graph.rs:252-291 (host, single kmer)."""
+        rck = np.asarray(
+            KM.rc(self.spec, jnp.asarray(kmer_limbs)[None])
+        )[0] if not self.stranded else None
+        if d == LEFT:
+            idx = self.search_kmer(kmer_limbs, RIGHT)
+            if idx is not None:
+                return idx, RIGHT, False
+            if not self.stranded:
+                idx = self.search_kmer(rck, LEFT)
+                if idx is not None:
+                    return idx, LEFT, True
+        else:
+            idx = self.search_kmer(kmer_limbs, LEFT)
+            if idx is not None:
+                return idx, LEFT, False
+            if not self.stranded:
+                idx = self.search_kmer(rck, RIGHT)
+                if idx is not None:
+                    return idx, RIGHT, True
+        return None
+
+    def find_edges(self, node_id: int, d: int) -> List[Tuple[int, int, bool]]:
+        """graph.rs:223-241: edges leaving node in direction d.
+        Extensions that leave the shard are silently skipped."""
+        t, s, f, ex = self._edge_table()
+        out = []
+        for b in range(4):
+            if ex[node_id, d, b]:
+                out.append((int(t[node_id, d, b]), int(s[node_id, d, b]), bool(f[node_id, d, b])))
+        return out
+
+    # -- exts maintenance ------------------------------------------------
+    def get_valid_exts(self, node_id: int, valid: Optional[np.ndarray]) -> int:
+        """graph.rs:344-377."""
+        t, s, f, ex = self._edge_table()
+        new = 0
+        for d in (LEFT, RIGHT):
+            for b in range(4):
+                if ex[node_id, d, b]:
+                    tgt = int(t[node_id, d, b])
+                    if valid is None or valid[tgt]:
+                        new = E.set_ext(new, d, b)
+        return new
+
+    def fix_exts(self, valid: Optional[np.ndarray] = None) -> None:
+        """graph.rs:337-342: drop extensions with no (valid) target."""
+        t, s, f, ex = self._edge_table()
+        keep = ex.copy()
+        if valid is not None:
+            keep &= np.asarray(valid, bool)[t]
+        new = np.zeros(len(self), np.int32)
+        for d in (LEFT, RIGHT):
+            for b in range(4):
+                new |= keep[:, d, b].astype(np.int32) << (b + 4 * d)
+        self.exts = new
+        self.base.exts = [int(x) for x in new]
+        self._edges = None  # edge existence depends on exts
+
+    # -- checks ----------------------------------------------------------
+    def is_compressed(self, join_test: Callable[[int, int], bool] = None):
+        """graph.rs:296-334: find a collapsible node pair, or None."""
+        if join_test is None:
+            join_test = lambda a, b: True
+        k = self.spec.k
+        for i in range(len(self)):
+            n = self.get_node(i)
+            for d in (LEFT, RIGHT):
+                de = n.edges(d)
+                if len(de) == 1:
+                    next_id, return_dir, _ = de[0]
+                    nxt = self.get_node(next_id)
+                    if len(nxt.edges(return_dir)) == 1:
+                        if n.len() == k and self._is_pal(i, first=True):
+                            continue
+                        if nxt.len() == k and self._is_pal(next_id, first=True):
+                            continue
+                        if i == next_id:
+                            continue
+                        if join_test(int(self.data[i]), int(self.data[next_id])):
+                            return (i, next_id)
+        return None
+
+    def _is_pal(self, node_id: int, first: bool) -> bool:
+        limbs = self.first_kmers[node_id] if first else self.last_kmers[node_id]
+        v = KM.to_int(self.spec, limbs)
+        k = self.spec.k
+        if k % 2:
+            return False
+        rc = 0
+        x = v
+        for _ in range(k):
+            rc = (rc << 2) | ((~x) & 3)
+            x >>= 2
+        return rc == v
+
+    # -- paths -----------------------------------------------------------
+    def sequence_of_path(self, path: Sequence[Tuple[int, int]]) -> DnaSeq:
+        """graph.rs:471-491: stitch a node path, dropping K-1 overlaps."""
+        k = self.spec.k
+        out = []
+        for idx, (node_id, d) in enumerate(path):
+            seq = self.base.sequences.get_bases(node_id)
+            if d == RIGHT:
+                seq = (3 - seq[::-1]).astype(np.uint8)
+            out.append(seq if idx == 0 else seq[k - 1 :])
+        return DnaSeq.from_bases(
+            np.concatenate(out) if out else np.zeros(0, np.uint8)
+        )
+
+    def max_path(self, score: Callable, solid_path: Callable):
+        """Greedy bidirectional best-score walk (graph.rs:382-468)."""
+        if len(self) == 0:
+            return []
+        scores = [score(int(d)) for d in self.data]
+        best_node = int(np.argmax(scores))
+        osc = lambda st: 0.0 if st is None else scores[st[0]]
+        osolid = lambda st: False if st is None else solid_path(int(self.data[st[0]]))
+
+        used = {best_node}
+        from collections import deque
+
+        path = deque([(best_node, LEFT)])
+        for start_node, d, do_flip in [
+            (best_node, LEFT, False),
+            (best_node, RIGHT, True),
+        ]:
+            current = (start_node, d)
+            while True:
+                nxt = None
+                cur_id, incoming = current
+                edges = self.get_node(cur_id).edges(1 - incoming)
+                solid = 0
+                for (tid, tdir, _) in edges:
+                    cand = (tid, tdir)
+                    if osolid(cand):
+                        solid += 1
+                    if osc(cand) > osc(nxt):
+                        nxt = cand
+                if solid > 1:
+                    break
+                if nxt is not None and nxt[0] not in used:
+                    if do_flip:
+                        path.appendleft((nxt[0], 1 - nxt[1]))
+                    else:
+                        path.append(nxt)
+                    used.add(nxt[0])
+                    current = nxt
+                else:
+                    break
+        return list(path)
+
+    def max_path_beam(self, beam: int, score: Callable, solid_path: Callable):
+        """Beam search from terminal nodes (graph.rs:712-841)."""
+        if len(self) == 0:
+            return []
+        ACTIVE, END, CYCLE = 0, 1, 2
+        states = []
+        for i in range(len(self)):
+            e = Exts(int(self.exts[i]))
+            nl, nr = e.num_exts_l(), e.num_exts_r()
+            if nl == 0 or nr == 0:
+                d = RIGHT if nl > 0 else LEFT
+                status = END if (nl == 0 and nr == 0) else ACTIVE
+                states.append(([(i, d)], float(score(int(self.data[i]))), status))
+        if not states:
+            states.append(([(0, LEFT)], float(score(int(self.data[0]))), ACTIVE))
+
+        active = True
+        while active:
+            new_states = []
+            active = False
+            for path, sc, status in states:
+                if status != ACTIVE:
+                    new_states.append((path, sc, status))
+                    continue
+                active = True
+                node_id, d = path[-1]
+                for (tid, tin, _) in self.get_node(node_id).edges(1 - d):
+                    nsc = sc + float(score(int(self.data[tid])))
+                    cycle = any(p == tid for p, _ in path)
+                    if cycle:
+                        st = CYCLE
+                    elif not self.get_node(tid).edges(1 - tin):
+                        st = END
+                    else:
+                        st = ACTIVE
+                    new_states.append((path + [(tid, tin)], nsc, st))
+            new_states.sort(key=lambda s: -s[1])
+            states = new_states[:beam]
+        return states[0][0]
+
+    # -- exports (graph.rs:493-710) --------------------------------------
+    def write_gfa(self, w) -> None:
+        w.write("H\tVN:Z:tpu-debruijn\n")
+        for i in range(len(self)):
+            self._node_to_gfa(i, w, None)
+
+    def to_gfa(self, path) -> None:
+        with open(path, "w") as f:
+            self.write_gfa(f)
+
+    def to_gfa_with_tags(self, path, tag_func) -> None:
+        with open(path, "w") as f:
+            f.write("H\tVN:Z:tpu-debruijn\n")
+            for i in range(len(self)):
+                self._node_to_gfa(i, f, tag_func)
+
+    def _node_to_gfa(self, i: int, w, tag_func) -> None:
+        node = self.get_node(i)
+        seq = node.sequence().to_dna_string()
+        if tag_func is not None:
+            w.write(f"S\t{i}\t{seq}\t{tag_func(node)}\n")
+        else:
+            w.write(f"S\t{i}\t{seq}\n")
+        k1 = self.spec.k - 1
+        for (target, d, _) in node.l_edges():
+            if target >= i:
+                to_dir = "+" if d == LEFT else "-"
+                w.write(f"L\t{i}\t-\t{target}\t{to_dir}\t{k1}M\n")
+        for (target, d, _) in node.r_edges():
+            if target > i:
+                to_dir = "+" if d == LEFT else "-"
+                w.write(f"L\t{i}\t+\t{target}\t{to_dir}\t{k1}M\n")
+
+    def to_dot(self, path, node_label: Callable[[int], str]) -> None:
+        with open(path, "w") as f:
+            f.write("digraph {\n")
+            for i in range(len(self)):
+                node = self.get_node(i)
+                f.write(
+                    f'n{i} [label="id:{i} len:{node.len()}  '
+                    f'{node_label(int(self.data[i]))}",style=filled]\n'
+                )
+                for (tid, d, _) in node.l_edges():
+                    color = "blue" if d == LEFT else "red"
+                    f.write(f"n{tid} -> n{i} [color={color}]\n")
+                for (tid, d, _) in node.r_edges():
+                    color = "blue" if d == LEFT else "red"
+                    f.write(f"n{i} -> n{tid} [color={color}]\n")
+            f.write("}\n")
+
+    def to_json_rest(self, fmt_func, writer, rest: Optional[dict] = None) -> None:
+        import json as _json
+
+        writer.write('{\n"nodes": [\n')
+        for i in range(len(self)):
+            node = self.get_node(i)
+            writer.write(
+                '{"id":"%d","L":%d,"D":%s,"Se":"%s"}'
+                % (i, node.len(), _json.dumps(fmt_func(int(self.data[i]))),
+                   node.sequence().to_dna_string())
+            )
+            writer.write("\n" if i == len(self) - 1 else ",\n")
+        writer.write('],\n"links": [\n')
+        lines = []
+        for i in range(len(self)):
+            for (tid, d, _) in self.get_node(i).r_edges():
+                lines.append(
+                    '{"source":"%d","target":"%d","D":"%s"}'
+                    % (i, tid, "L" if d == LEFT else "R")
+                )
+        writer.write(",\n".join(lines))
+        writer.write("\n]")
+        if rest:
+            for key, val in rest.items():
+                writer.write(',\n"%s": %s\n' % (key, _json.dumps(val)))
+        else:
+            writer.write("\n")
+        writer.write("}\n")
+
+    def to_json(self, fmt_func, writer) -> None:
+        self.to_json_rest(fmt_func, writer, None)
+
+    def print(self) -> None:
+        print(f"DebruijnGraph {{ len: {len(self)}, K: {self.spec.k} }} :")
+        for node in self.iter_nodes():
+            print(node)
+
+    def print_with_data(self) -> None:
+        print(f"DebruijnGraph {{ len: {len(self)}, K: {self.spec.k} }} :")
+        for node in self.iter_nodes():
+            print(node, f"({int(self.data[node.node_id])})")
+
+    # -- checkpoint (serde equivalent, SURVEY.md section 5) ---------------
+    def save(self, path) -> None:
+        flat = np.concatenate(
+            [self.base.sequences.get_bases(i) for i in range(len(self))]
+        ) if len(self) else np.zeros(0, np.uint8)
+        np.savez_compressed(
+            path,
+            k=self.spec.k,
+            stranded=self.stranded,
+            lengths=np.asarray(self.base.sequences.length, np.int64),
+            bases=flat,
+            exts=np.asarray(self.exts, np.int32),
+            data=np.asarray(self.data, np.int32),
+        )
+
+    @staticmethod
+    def load(path) -> "DebruijnGraph":
+        z = np.load(path)
+        g = BaseGraph(int(z["k"]), bool(z["stranded"]))
+        off = 0
+        for i, ln in enumerate(z["lengths"]):
+            g.add(z["bases"][off : off + ln], int(z["exts"][i]), int(z["data"][i]))
+            off += int(ln)
+        return g.finish()
+
+
+class Node:
+    """View of one unitig (graph.rs:1009-1093)."""
+
+    def __init__(self, node_id: int, graph: DebruijnGraph):
+        self.node_id = node_id
+        self.graph = graph
+
+    def len(self) -> int:
+        return int(self.graph.base.sequences.length[self.node_id])
+
+    def sequence(self) -> DnaSeq:
+        return self.graph.base.sequences.get(self.node_id)
+
+    def data(self) -> int:
+        return int(self.graph.data[self.node_id])
+
+    def exts(self) -> Exts:
+        return Exts(int(self.graph.exts[self.node_id]))
+
+    def l_edges(self):
+        return self.graph.find_edges(self.node_id, LEFT)
+
+    def r_edges(self):
+        return self.graph.find_edges(self.node_id, RIGHT)
+
+    def edges(self, d: int):
+        return self.graph.find_edges(self.node_id, d)
+
+    def iter_kmers(self):
+        return self.sequence().iter_kmers(self.graph.spec.k)
+
+    def __repr__(self):
+        return (
+            f"Node {{ id:{self.node_id}, Exts: {self.exts()}, "
+            f"L:{self.l_edges()} R:{self.r_edges()}, Seq: {self.len()} }}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# node-level re-compression (compression.rs:100-349)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _node_partner_jit(spec, stranded, use_join, lk_sorted, lk_ids, rk_sorted,
+                      rk_ids, first_k, last_k, exts, node_len, valid, labels):
+    """try_extend_node (compression.rs:115-205) as vector masks."""
+    n = first_k.shape[0]
+    idx_self = jnp.arange(n, dtype=jnp.int32)
+    k = spec.k
+    if not stranded:
+        pal_self = (node_len == k) & KM.is_palindrome(spec, first_k)
+    else:
+        pal_self = jnp.zeros(n, bool)
+
+    partners, ins = {}, {}
+    for d in (LEFT, RIGHT):
+        uniq, base = E.unique_extension(exts, d)
+        term = first_k if d == LEFT else last_k
+        cand = (
+            KM.extend_left(spec, term, base.astype(jnp.uint32))
+            if d == LEFT
+            else KM.extend_right(spec, term, base.astype(jnp.uint32))
+        )
+        if not stranded:
+            pal_next = KM.is_palindrome(spec, cand)
+        else:
+            pal_next = jnp.zeros(n, bool)
+        j, side, flip, found = _find_link_device(
+            spec, stranded, d, cand, lk_sorted, lk_ids, rk_sorted, rk_ids
+        )
+        jc = jnp.clip(j, 0, n - 1)
+        incoming_cnt = E.num_ext_dir(exts[jc], side)
+        ok = (
+            valid
+            & uniq
+            & found
+            & valid[jc]
+            & (j != idx_self)
+            & ~pal_self
+            & ~pal_next
+            & (incoming_cnt == 1)
+        )
+        if use_join:
+            ok = ok & (labels[idx_self] == labels[jc])
+        partners[d] = jnp.where(ok, j, -1)
+        ins[d] = side.astype(jnp.int32)
+
+    out = {}
+    for d in (LEFT, RIGHT):
+        j = partners[d]
+        jc = jnp.clip(j, 0, n - 1)
+        rev = jnp.where(ins[d] == LEFT, partners[LEFT][jc], partners[RIGHT][jc])
+        ok = (j >= 0) & (rev == idx_self)
+        out[d] = jnp.where(ok, j, -1)
+    chains = C.link_chains(out[LEFT], out[RIGHT], ins[LEFT], ins[RIGHT], valid)
+    u_exts = C.unitig_end_exts(exts, chains)
+    return chains, u_exts
+
+
+def compress_graph(
+    graph: DebruijnGraph,
+    censor_nodes: Optional[Sequence[int]] = None,
+    *,
+    data_reduce: str = "sum_sat_u16",
+    join_on_data: bool = False,
+) -> DebruijnGraph:
+    """Merge adjacent unbranched nodes, optionally censoring some first.
+
+    compress_graph equivalent (compression.rs:291-349): fix_exts against
+    the valid set, chain-link the nodes, stitch sequences (dropping K-1
+    overlaps), rebuild, and fix_exts again.
+    """
+    n = len(graph)
+    valid = np.ones(n, bool)
+    if censor_nodes is not None:
+        valid[np.asarray(list(censor_nodes), int)] = False
+    graph.fix_exts(valid)
+
+    k = graph.spec.k
+    if n == 0:
+        return BaseGraph(k, graph.stranded).finish()
+    node_len = np.asarray(graph.base.sequences.length, np.int32)
+    chains, u_exts = _node_partner_jit(
+        graph.spec, graph.stranded, join_on_data,
+        jnp.asarray(graph._lk_sorted), jnp.asarray(graph._lk_ids),
+        jnp.asarray(graph._rk_sorted), jnp.asarray(graph._rk_ids),
+        jnp.asarray(graph.first_kmers), jnp.asarray(graph.last_kmers),
+        jnp.asarray(graph.exts), jnp.asarray(node_len),
+        jnp.asarray(valid), jnp.asarray(graph.data),
+    )
+    uid = np.asarray(chains.uid)
+    pos = np.asarray(chains.pos)
+    flip = np.asarray(chains.flip)
+    nutg = int(chains.n_unitigs)
+    u_exts = np.asarray(u_exts)[:nutg]
+
+    live = uid >= 0
+    data_red = C._reduce_np(data_reduce, graph.data[live], uid[live], nutg)
+
+    # stitch sequences host-side in (uid, pos) order
+    order = np.lexsort((pos[live], uid[live]))
+    lids = np.nonzero(live)[0][order]
+    out = BaseGraph(k, graph.stranded)
+    cur = []
+    cur_uid = -1
+    rows = []
+    for i in lids:
+        if uid[i] != cur_uid:
+            if cur_uid >= 0:
+                rows.append(np.concatenate(cur))
+            cur_uid = uid[i]
+            cur = []
+        seq = graph.base.sequences.get_bases(i)
+        if flip[i]:
+            seq = (3 - seq[::-1]).astype(np.uint8)
+        cur.append(seq if not cur else seq[k - 1 :])
+    if cur_uid >= 0:
+        rows.append(np.concatenate(cur))
+    for u, seq in enumerate(rows):
+        out.add(seq, int(u_exts[u]), int(data_red[u]))
+    dbg = out.finish()
+    dbg.fix_exts(None)
+    return dbg

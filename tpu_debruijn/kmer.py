@@ -96,6 +96,21 @@ def from_bases(spec: KmerSpec, bases) -> np.ndarray:
     return from_int(spec, v)
 
 
+def from_bases_batch_np(spec: KmerSpec, rows: np.ndarray) -> np.ndarray:
+    """Host-vectorized: (N, K) base codes -> (N, W) limbs.
+
+    Left-pads each row to 16W bases so the packed value lands right-aligned
+    (the canonical limb layout).
+    """
+    rows = np.asarray(rows, np.uint32)
+    n = rows.shape[0]
+    padded = np.zeros((n, 16 * spec.w), np.uint32)
+    padded[:, 16 * spec.w - spec.k :] = rows
+    padded = padded.reshape(n, spec.w, 16)
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+    return (padded << shifts).sum(axis=2, dtype=np.uint32)
+
+
 def to_bases(spec: KmerSpec, limbs) -> np.ndarray:
     """Host: (W,) limbs -> (K,) array of 2-bit codes."""
     v = to_int(spec, limbs)
