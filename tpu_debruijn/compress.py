@@ -446,17 +446,44 @@ def compress_kmers(
     chains, u_exts, contrib = _compress_jit(
         spec, table.stranded, join_on_data, kmers, exts, jnp.int32(n), labels
     )
-    uid = np.asarray(chains.uid)
-    pos = np.asarray(chains.pos)
-    flip = np.asarray(chains.flip)
-    u_exts = np.asarray(u_exts)
-    contrib = np.asarray(contrib)
-    lengths = np.asarray(chains.length)
-    nutg = int(chains.n_unitigs)
-    first_item = np.asarray(chains.first_item)
-    first_flip = np.asarray(chains.first_flip)
+    return assemble_unitigs(
+        spec,
+        table.kmers,
+        np.asarray(chains.uid),
+        np.asarray(chains.pos),
+        np.asarray(chains.flip),
+        np.asarray(chains.length),
+        np.asarray(chains.first_item),
+        np.asarray(chains.first_flip),
+        int(chains.n_unitigs),
+        np.asarray(u_exts),
+        np.asarray(contrib),
+        data_np,
+        data_reduce=data_reduce,
+    )
 
-    # assemble ragged unitig sequences
+
+def assemble_unitigs(
+    spec: KmerSpec,
+    kmers: np.ndarray,
+    uid: np.ndarray,
+    pos: np.ndarray,
+    flip: np.ndarray,
+    lengths: np.ndarray,
+    first_item: np.ndarray,
+    first_flip: np.ndarray,
+    nutg: int,
+    u_exts: np.ndarray,
+    contrib: np.ndarray,
+    data_np: np.ndarray,
+    *,
+    data_reduce: str = "sum_sat_u16",
+):
+    """Host: chain labels -> ragged unitig list [(bases, exts, data)].
+
+    Works on padded arrays (padding slots carry uid == -1), so sharded
+    callers can pass whole device buffers without trimming.
+    """
     live = uid >= 0
     data_red = _reduce_np(data_reduce, data_np[live], uid[live], nutg)
 
@@ -469,7 +496,7 @@ def compress_kmers(
     # the first kmer contributes all K bases, oriented
     for u in range(nutg):
         i = first_item[u]
-        b = KM.to_bases(spec, table.kmers[i])
+        b = KM.to_bases(spec, kmers[i])
         if first_flip[u]:
             b = (3 - b[::-1]) & 3
         seq_flat[offsets[u] : offsets[u] + spec.k] = b
