@@ -1,0 +1,42 @@
+"""Pallas kernel parity: fused canonicalize == elementwise ladder, for
+every limb width (K spanning 1..4 uint32 limbs), interpret mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_debruijn import exts as E
+from tpu_debruijn import kmer as KM
+from tpu_debruijn.kernels import canonicalize_fused
+from tpu_debruijn.kmer import KmerSpec
+
+
+@pytest.mark.parametrize("k", [4, 15, 16, 31, 32, 47, 48, 63, 64])
+def test_canonicalize_fused_parity(rng, k):
+    spec = KmerSpec(k)
+    n = 1000
+    bases = rng.integers(0, 4, (n, k))
+    kmers = jnp.asarray(KM.from_bases_batch_np(spec, bases))
+    exts = jnp.asarray(rng.integers(0, 256, n), jnp.int32)
+
+    ck, ce, fl = canonicalize_fused(spec, kmers, exts)
+
+    want_k, want_f = KM.min_rc_flip(spec, kmers)
+    want_e = jnp.where(want_f, E.rc(exts), exts)
+    assert np.array_equal(np.asarray(ck), np.asarray(want_k))
+    assert np.array_equal(np.asarray(ce), np.asarray(want_e))
+    assert np.array_equal(np.asarray(fl), np.asarray(want_f))
+
+
+def test_canonicalize_fused_batch_shapes(rng):
+    spec = KmerSpec(31)
+    bases = rng.integers(0, 4, (6, 7, 31))
+    kmers = jnp.asarray(
+        KM.from_bases_batch_np(spec, bases.reshape(-1, 31)).reshape(6, 7, spec.w)
+    )
+    exts = jnp.asarray(rng.integers(0, 256, (6, 7)), jnp.int32)
+    ck, ce, fl = canonicalize_fused(spec, kmers, exts)
+    assert ck.shape == (6, 7, spec.w)
+    assert ce.shape == (6, 7)
+    want_k, want_f = KM.min_rc_flip(spec, kmers)
+    assert np.array_equal(np.asarray(ck), np.asarray(want_k))

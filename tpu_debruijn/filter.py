@@ -118,10 +118,23 @@ def extract_kmers(spec: KmerSpec, bases, lengths, seq_exts):
     return kmers, exts.astype(jnp.int32), valid
 
 
-def canonicalize(spec: KmerSpec, kmers, exts, stranded: bool):
-    """min_rc_flip + Exts::rc on flip (filter.rs:190-196)."""
+def canonicalize(spec: KmerSpec, kmers, exts, stranded: bool, use_pallas: bool = False):
+    """min_rc_flip + Exts::rc on flip (filter.rs:190-196).
+
+    With ``use_pallas`` on a TPU backend, dispatches to the fused Pallas
+    kernel (kernels/canonical.py).  Default is the plain elementwise
+    ladder: XLA fuses it to the same single HBM pass (measured parity,
+    ~1.29ms vs 1.30ms at n=262144 on v5e), and the Mosaic compile of the
+    embedded kernel costs minutes through the remote-compile path.
+    """
     if stranded:
         return kmers, exts, jnp.zeros(kmers.shape[:-1], bool)
+    if use_pallas:
+        from tpu_debruijn.kernels import canonicalize_fused, pallas_enabled
+
+        if pallas_enabled():
+            ck, cexts, flip = canonicalize_fused(spec, kmers, exts)
+            return ck, cexts.astype(exts.dtype), flip
     ck, flip = KM.min_rc_flip(spec, kmers)
     cexts = jnp.where(flip, E.rc(exts), exts)
     return ck, cexts, flip
