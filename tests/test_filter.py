@@ -116,3 +116,24 @@ def test_count_filter_set_labels(rng):
     assert (tab.counts == 2).all()
     tab2 = F.filter_kmers(seqs, k, stranded=False, min_obs=2, data_reduce="max")
     assert (tab2.data == 5).all()
+
+
+def test_streaming_matches_single_pass(rng):
+    # filter.rs:151-183 memory-bounded multi-pass: chunked streaming must
+    # equal the one-shot pipeline, including count saturation + exts OR
+    from tpu_debruijn.oracle import ref as O
+
+    k = 16
+    contigs = O.random_contigs(rng)
+    reads = []
+    for c in contigs:
+        c = np.asarray(c, np.uint8)
+        for s in range(0, max(1, len(c) - 40), 13):
+            reads.append((c[s : s + 40], 0, int(rng.integers(0, 3))))
+    for min_obs in (1, 2):
+        one = F.filter_kmers(reads, k, stranded=False, min_obs=min_obs)
+        stream = F.filter_kmers_streaming(
+            reads, k, stranded=False, min_obs=min_obs, chunk_reads=7
+        )
+        assert one.to_tuples() == stream.to_tuples()
+        assert np.array_equal(one.exts, stream.exts)

@@ -18,8 +18,10 @@ Layout (maps onto the reference's layer map, see SURVEY.md section 1):
 * L2:    ``kmer.py``, ``dna.py``     (kmer.rs, dna_string.rs, vmer.rs)
 * L3:    ``msp.py``, ``filter.py``   (msp.rs, filter.rs)
 * L4:    ``compress.py``, ``graph.py`` (compression.rs, graph.rs)
-* L5:    ``clean.py``, ``walks.py``, ``neighbors.py``, ``io/``
-* dist:  ``parallel/``               (no reference analog; MSP-bucket mesh)
+* L5:    ``clean.py``, ``neighbors.py`` (graph walks live on DebruijnGraph)
+* io:    ``io/``                     (native C++ codec, FASTA/FASTQ, exports)
+* dist:  ``parallel/``               (MSP-bucket mesh; all_to_all exchange)
+* hot kernels: ``kernels/``          (Pallas; bitops_avx2.rs equivalents)
 * test oracle: ``oracle/``           (plain-Python reference reimplementation)
 """
 

@@ -33,9 +33,12 @@ requires the CompressionSpec.reduce to be associative + commutative
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 from functools import partial
 from typing import Optional
+
+log = logging.getLogger("tpu_debruijn.compress")
 
 import jax
 import jax.numpy as jnp
@@ -445,6 +448,9 @@ def compress_kmers(
     labels = jnp.asarray(data_np, jnp.int32)
     chains, u_exts, contrib = _compress_jit(
         spec, table.stranded, join_on_data, kmers, exts, jnp.int32(n), labels
+    )
+    log.debug(
+        "compress_kmers: %d kmers -> %d unitigs", n, int(chains.n_unitigs)
     )
     return assemble_unitigs(
         spec,

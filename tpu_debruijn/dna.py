@@ -86,6 +86,42 @@ class DnaSeq:
         return out
 
     @staticmethod
+    def from_acgt_bytes(b) -> "DnaSeq":
+        """ASCII bytes, non-ACGT -> A (dna_string.rs:228; the native-codec
+        bulk path replaces the reference's AVX2 fast path)."""
+        from tpu_debruijn.io.native import ascii_to_codes
+
+        return DnaSeq.from_bases(ascii_to_codes(b))
+
+    @staticmethod
+    def from_acgt_bytes_hashn(b, name: bytes) -> "DnaSeq":
+        """ASCII bytes; non-ACGT positions become a repeatable pseudo-random
+        base from a hash of (read name, position) (dna_string.rs:255-277)."""
+        from tpu_debruijn.io.native import ascii_to_codes
+
+        if isinstance(b, str):
+            b = b.encode()
+        codes, mask, bad = ascii_to_codes(b, with_mask=True)
+        if bad:
+            import hashlib
+
+            pos = np.nonzero(~mask)[0]
+            seed = hashlib.blake2b(bytes(name), digest_size=8).digest()
+            rnd = np.array(
+                [
+                    hashlib.blake2b(
+                        seed + int(i).to_bytes(8, "little"), digest_size=8
+                    ).digest()[0]
+                    % 4
+                    for i in pos
+                ],
+                np.uint8,
+            )
+            codes = codes.copy()
+            codes[pos] = rnd
+        return DnaSeq.from_bases(codes)
+
+    @staticmethod
     def blank(length: int) -> "DnaSeq":
         return DnaSeq.from_bases(np.zeros(length, np.uint8))
 

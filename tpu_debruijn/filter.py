@@ -29,9 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import logging
+
 from tpu_debruijn import exts as E
 from tpu_debruijn import kmer as KM
 from tpu_debruijn import sorting as S
+
+log = logging.getLogger("tpu_debruijn.filter")
 from tpu_debruijn.kmer import KmerSpec
 
 
@@ -242,6 +246,162 @@ def count_kmers(
     )
 
 
+def count_kmers_sets(
+    spec: KmerSpec,
+    bases,
+    lengths,
+    seq_exts,
+    labels,
+    *,
+    stranded: bool,
+    min_obs: int,
+):
+    """CountFilterSet engine (filter.rs:68-101): per-kmer sorted-deduped
+    label sets, via one sort over (kmer, label) composite keys.
+
+    Returns (KmerTableDev, pair_kmer (n,) int32 slot ids into the table,
+    pair_label (n,) int32, n_pairs): pairs are the distinct (kmer, label)
+    observations of *valid* kmers, lexicographically ordered, so the label
+    set of table slot i is pair_label[pair_kmer == i] (already sorted).
+    """
+    kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
+    kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
+
+    n = kmers.shape[0] * kmers.shape[1]
+    w = spec.w
+    kf = kmers.reshape(n, w)
+    ef = exts.reshape(n)
+    vf = valid.reshape(n)
+    lab = jnp.broadcast_to(
+        jnp.asarray(labels, jnp.int32)[:, None], valid.shape
+    ).reshape(n)
+
+    inv = (~vf).astype(jnp.uint32)
+    keys = [inv] + S.limbs_to_keys(kf) + [lab.astype(jnp.uint32)]
+    (skeys, (sexts,)) = S.sort_with_payload(keys, [ef])
+    sinv, slimbs, slab = skeys[0], skeys[1:-1], skeys[-1].astype(jnp.int32)
+    svalid = sinv == 0
+    skmers = S.keys_to_limbs(slimbs)
+
+    starts = S.run_starts(slimbs, svalid)  # kmer-run starts
+    seg = S.segment_ids(starts, svalid)
+    counts = jnp.minimum(S.segment_sum(svalid.astype(jnp.int32), seg, n), 65535)
+    uexts = S.segment_or8(sexts, seg, n)
+    ukmers = jnp.zeros_like(skmers).at[seg].set(skmers, mode="drop")
+    n_unique = starts.sum().astype(jnp.int32)
+
+    # (kmer, label) pair starts: new kmer OR new label within the run
+    prev_lab = jnp.concatenate([slab[:1] - 1, slab[:-1]])
+    pair_starts = svalid & (starts | (slab != prev_lab))
+
+    slot = jnp.arange(n, dtype=jnp.int32)
+    is_unique = slot < n_unique
+    passes = is_unique & (counts >= min_obs)
+    n_valid, (vkmers, vexts, vcounts) = S.compact(passes, [ukmers, uexts, counts])
+
+    # renumber pair kmer ids into compacted slots, drop censored kmers
+    new_slot = jnp.cumsum(passes.astype(jnp.int32)) - 1  # by old slot id
+    segc = jnp.clip(seg, 0, n - 1)
+    pair_keep = pair_starts & passes[segc]
+    n_pairs, (pair_kmer, pair_label) = S.compact(
+        pair_keep, [new_slot[segc], slab]
+    )
+
+    table = KmerTableDev(
+        spec=spec,
+        stranded=stranded,
+        kmers=vkmers,
+        exts=vexts,
+        counts=vcounts,
+        data=jnp.zeros_like(vcounts),
+        n_valid=n_valid,
+        all_kmers=ukmers,
+        all_n=n_unique,
+    )
+    return table, pair_kmer, pair_label, n_pairs
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _count_kmers_sets_jit(spec, stranded, min_obs, bases, lengths, seq_exts, labels):
+    return count_kmers_sets(
+        spec, bases, lengths, seq_exts, labels, stranded=stranded, min_obs=min_obs
+    )
+
+
+def filter_kmers_set(
+    seqs,
+    k: int,
+    *,
+    stranded: bool = False,
+    min_obs: int = 1,
+):
+    """Host API: CountFilterSet (filter.rs:68-101) — each kmer's data is
+    the sorted, deduplicated list of labels ("colors") it was observed
+    with.  Returns (KmerTable, label_sets: list of tuples aligned with
+    table rows).
+    """
+    spec = KmerSpec(k)
+    items = [s for s in seqs if len(s[0]) >= k]
+    if not items:
+        return (
+            KmerTable(
+                spec, stranded,
+                np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32),
+            ),
+            [],
+        )
+    bases, lengths = pad_reads([s[0] for s in items], min_len=k, pad_to=16)
+    seq_exts = np.array([s[1] for s in items], dtype=np.int32)
+    labels = np.array([s[2] for s in items], dtype=np.int32)
+    dev, pair_kmer, pair_label, n_pairs = _count_kmers_sets_jit(
+        spec, stranded, min_obs, bases, lengths, seq_exts, labels
+    )
+    n = int(dev.n_valid)
+    np_ = int(n_pairs)
+    pk = np.asarray(pair_kmer)[:np_]
+    plb = np.asarray(pair_label)[:np_]
+    sets: List[tuple] = [() for _ in range(n)]
+    split = np.searchsorted(pk, np.arange(n + 1))
+    for i in range(n):
+        sets[i] = tuple(int(x) for x in plb[split[i] : split[i + 1]])
+    table = KmerTable(
+        spec=spec,
+        stranded=stranded,
+        kmers=np.asarray(dev.kmers)[:n],
+        exts=np.asarray(dev.exts)[:n],
+        counts=np.asarray(dev.counts)[:n],
+        data=np.zeros(n, np.int32),
+    )
+    return table, sets
+
+
+def filter_kmers_eq_classes(
+    seqs,
+    k: int,
+    *,
+    stranded: bool = False,
+    min_obs: int = 1,
+):
+    """CountFilterEqClass-style summarizer (the Cell Ranger pattern built
+    on the reference's KmerSummarizer trait, filter.rs:27-38): kmers with
+    identical label sets share an equivalence-class id.
+
+    Returns (KmerTable with data = eq-class id, eq_classes: list of label
+    tuples indexed by id).
+    """
+    table, sets = filter_kmers_set(seqs, k, stranded=stranded, min_obs=min_obs)
+    ids: dict = {}
+    data = np.zeros(len(table), np.int32)
+    for i, s in enumerate(sets):
+        if s not in ids:
+            ids[s] = len(ids)
+        data[i] = ids[s]
+    table.data = data
+    eq_classes = [s for s, _ in sorted(ids.items(), key=lambda kv: kv[1])]
+    return table, eq_classes
+
+
 def remove_censored_exts_device(
     spec: KmerSpec,
     stranded: bool,
@@ -278,6 +438,43 @@ def remove_censored_exts_device(
                 keep = has & found_valid
             new_exts = jnp.where(keep, E.set_ext(new_exts, d, b), new_exts)
     return new_exts
+
+
+def remove_censored_exts(table) -> None:
+    """Global censored-ext repair (filter.rs:280-306): keep only
+    extensions onto valid kmers.  Mutates ``table.exts`` in place."""
+    n = len(table.kmers)
+    if n == 0:
+        return
+    new = remove_censored_exts_device(
+        table.spec,
+        table.stranded,
+        jnp.asarray(table.kmers),
+        jnp.asarray(table.exts),
+        jnp.int32(n),
+    )
+    table.exts = np.asarray(new)
+
+
+def remove_censored_exts_sharded(table) -> None:
+    """Sharded repair (filter.rs:238-276): drop extensions whose target is
+    in this shard's census but invalid; keep cross-shard unknowns.
+    Requires the table was built with ``report_all=True``."""
+    n = len(table.kmers)
+    if n == 0:
+        return
+    if table.all_kmers is None:
+        raise ValueError("table has no census; build with report_all=True")
+    new = remove_censored_exts_device(
+        table.spec,
+        table.stranded,
+        jnp.asarray(table.kmers),
+        jnp.asarray(table.exts),
+        jnp.int32(n),
+        jnp.asarray(table.all_kmers),
+        jnp.int32(len(table.all_kmers)),
+    )
+    table.exts = np.asarray(new)
 
 
 # ---------------------------------------------------------------------------
@@ -357,10 +554,15 @@ def filter_kmers(
     seq_exts = np.array([s[1] for s in items], dtype=np.int32)
     labels = np.array([s[2] for s in items], dtype=np.int32)
 
+    log.debug(
+        "filter_kmers: %d reads (padded %s), K=%d stranded=%s min_obs=%d",
+        len(items), bases.shape, k, stranded, min_obs,
+    )
     dev = _count_kmers_jit(
         spec, stranded, min_obs, data_reduce, bases, lengths, seq_exts, labels
     )
     n = int(dev.n_valid)
+    log.debug("filter_kmers: %d valid kmers (census %d)", n, int(dev.all_n))
     table = KmerTable(
         spec=spec,
         stranded=stranded,
@@ -372,6 +574,114 @@ def filter_kmers(
     if report_all:
         table.all_kmers = np.asarray(dev.all_kmers)[: int(dev.all_n)]
     return table
+
+
+def filter_kmers_streaming(
+    seqs,
+    k: int,
+    *,
+    stranded: bool = False,
+    min_obs: int = 1,
+    data_reduce: str = "label_first",
+    chunk_reads: int = 4096,
+    read_len_cap: Optional[int] = None,
+) -> KmerTable:
+    """Memory-bounded streaming counting (filter.rs:151-183 equivalent).
+
+    The reference bounds temp memory by multi-pass bucket ranges; here the
+    device works in fixed-shape read chunks (one compiled program reused
+    for every chunk) and partial sorted tables are merged on the host, so
+    device memory is O(chunk) and host memory is O(unique kmers).  Counts
+    accumulate globally before the ``min_obs`` threshold is applied, so the
+    result equals single-pass ``filter_kmers``.
+
+    ``seqs`` may be any iterable of (bases, seq_exts, label).
+    """
+    spec = KmerSpec(k)
+    cap = read_len_cap
+    parts = []
+    chunk: List = []
+
+    def flush(chunk):
+        nonlocal cap
+        if not chunk:
+            return
+        if cap is None:
+            cap = -(-max(len(s[0]) for s in chunk) // 64) * 64
+        arr = np.zeros((chunk_reads, max(cap, k)), np.uint8)
+        lengths = np.zeros(chunk_reads, np.int32)
+        seq_exts = np.zeros(chunk_reads, np.int32)
+        labels = np.zeros(chunk_reads, np.int32)
+        for i, (s, e, d) in enumerate(chunk):
+            s = np.asarray(s, np.uint8)[: arr.shape[1]]
+            arr[i, : len(s)] = s
+            lengths[i] = len(s)
+            seq_exts[i] = e
+            labels[i] = d
+        dev = _count_kmers_jit(
+            spec, stranded, 1, data_reduce, arr, lengths, seq_exts, labels
+        )
+        n = int(dev.n_valid)
+        log.debug(
+            "filter_kmers_streaming: chunk %d -> %d unique kmers", len(parts), n
+        )
+        parts.append(
+            (
+                np.asarray(dev.kmers)[:n].copy(),
+                np.asarray(dev.exts)[:n].copy(),
+                np.asarray(dev.counts)[:n].copy(),
+                np.asarray(dev.data)[:n].copy(),
+            )
+        )
+
+    for item in seqs:
+        if len(item[0]) < k:
+            continue
+        chunk.append(item)
+        if len(chunk) == chunk_reads:
+            flush(chunk)
+            chunk = []
+    flush(chunk)
+
+    if not parts:
+        return KmerTable(
+            spec, stranded,
+            np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+        )
+    kmers = np.concatenate([p[0] for p in parts])
+    exts = np.concatenate([p[1] for p in parts])
+    counts = np.concatenate([p[2] for p in parts]).astype(np.int64)
+    data = np.concatenate([p[3] for p in parts])
+
+    cols = tuple(kmers[:, i] for i in range(spec.w - 1, -1, -1))
+    order = np.lexsort(cols)
+    kmers, exts, counts, data = kmers[order], exts[order], counts[order], data[order]
+    new = np.ones(len(kmers), bool)
+    if len(kmers) > 1:
+        new[1:] = (kmers[1:] != kmers[:-1]).any(axis=1)
+    starts = np.nonzero(new)[0]
+    ucounts = np.minimum(np.add.reduceat(counts, starts), 65535).astype(np.int32)
+    uexts = np.bitwise_or.reduceat(exts, starts)
+    if data_reduce in ("label_first",):
+        udata = data[starts]
+    elif data_reduce == "min":
+        udata = np.minimum.reduceat(data, starts)
+    elif data_reduce == "max":
+        udata = np.maximum.reduceat(data, starts)
+    elif data_reduce == "sum":
+        udata = np.add.reduceat(data, starts)
+    else:
+        raise ValueError(data_reduce)
+    keep = ucounts >= min_obs
+    return KmerTable(
+        spec=spec,
+        stranded=stranded,
+        kmers=kmers[starts][keep],
+        exts=uexts[keep].astype(np.int32),
+        counts=ucounts[keep],
+        data=udata[keep].astype(np.int32),
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))

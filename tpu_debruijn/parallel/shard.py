@@ -15,7 +15,10 @@ tolerance per filter.rs:241-243, graph.rs:235-236).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
+
+log = logging.getLogger("tpu_debruijn.parallel")
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -190,6 +193,10 @@ def sharded_tables(
     cap_per_dest = min(cap, max(16, int(np.ceil(cap * slack / n_shards))))
     plan = ShardPlan(k, p, stranded, min_obs, n_shards, cap_per_dest)
 
+    log.debug(
+        "sharded_tables: %d reads over %d shards, cap_per_dest=%d",
+        bases.shape[0], n_shards, cap_per_dest,
+    )
     fn = _shard_map_fn(plan, mesh, data_reduce)
     table, chains, u_exts, contrib, overflow = fn(
         jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(labels)

@@ -148,6 +148,74 @@ def segment_first(vals, seg, n, starts):
     return out.at[idx].set(vals, mode="drop")
 
 
+def partition(mask, arrays):
+    """Stable partition via a 1-bit-key sort: rows with mask move to the
+    front, preserving order.  Returns (count, arrays).
+
+    On TPU this is ~8x faster than the scatter-based ``compact`` (XLA
+    lowers scatters poorly; sorts are native).  Tail slots hold the
+    unselected rows (NOT a fill value) — callers must bound by count.
+    """
+    key = (~mask).astype(jnp.uint8)
+    out = jax.lax.sort([key] + list(arrays), num_keys=1, is_stable=True)
+    return mask.sum().astype(jnp.int32), out[1:]
+
+
+def _seg_combine_copy_first(a, b):
+    """Segmented copy-first scan combinator: value = first of segment."""
+    f1, v1 = a
+    f2, v2 = b
+    f2b = f2.astype(bool)
+    if isinstance(v1, (list, tuple)):
+        v = type(v1)(jnp.where(f2b, x2, x1) for x1, x2 in zip(v1, v2))
+    else:
+        v = jnp.where(f2b, v2, v1)
+    return f1 | f2, v
+
+
+def seg_first_scan(vals, starts):
+    """Each element gets its segment's FIRST value (forward copy scan).
+
+    ``vals`` may be one array or a tuple of arrays sharing the flags.
+    """
+    _, v = jax.lax.associative_scan(_seg_combine_copy_first, (starts, vals))
+    return v
+
+
+def seg_last_scan(vals, is_end):
+    """Each element gets its segment's LAST value (reversed copy scan)."""
+    single = not isinstance(vals, (list, tuple))
+    vt = (vals,) if single else tuple(vals)
+    rev = tuple(v[::-1] for v in vt)
+    out = seg_first_scan(rev, is_end[::-1])
+    out = tuple(v[::-1] for v in out)
+    return out[0] if single else out
+
+
+def seg_or_scan(vals, starts):
+    """Forward segmented bitwise-OR scan (OR is associative)."""
+
+    def comb(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return f1 | f2, jnp.where(f2.astype(bool), v2, v1 | v2)
+
+    _, v = jax.lax.associative_scan(comb, (starts, vals))
+    return v
+
+
+def seg_op_scan(vals, starts, op):
+    """Forward segmented scan with an arbitrary associative ``op``."""
+
+    def comb(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return f1 | f2, jnp.where(f2.astype(bool), v2, op(v1, v2))
+
+    _, v = jax.lax.associative_scan(comb, (starts, vals))
+    return v
+
+
 def compact(mask, arrays, fill=0):
     """Stable-compact rows where mask is True to the front of each array.
 
