@@ -137,3 +137,16 @@ def test_streaming_matches_single_pass(rng):
         )
         assert one.to_tuples() == stream.to_tuples()
         assert np.array_equal(one.exts, stream.exts)
+
+
+def test_kmer_table_checkpoint(tmp_path, rng):
+    reads = [(rng.integers(0, 4, 50).astype(np.uint8), 0, i) for i in range(8)]
+    t = F.filter_kmers(reads, 16, stranded=False, min_obs=1, report_all=True)
+    p = tmp_path / "table.npz"
+    t.save(p)
+    t2 = F.KmerTable.load(p)
+    assert t2.spec.k == 16 and t2.stranded == t.stranded
+    assert np.array_equal(t2.kmers, t.kmers)
+    assert np.array_equal(t2.exts, t.exts)
+    assert np.array_equal(t2.counts, t.counts)
+    assert np.array_equal(t2.all_kmers, t.all_kmers)

@@ -499,21 +499,15 @@ def assemble_unitigs(
     # bases contributed by each kmer at pos >= 1
     tail = live & (pos > 0)
     seq_flat[offsets[uid[tail]] + spec.k - 1 + pos[tail]] = contrib[tail]
-    # the first kmer contributes all K bases, oriented
-    for u in range(nutg):
-        i = first_item[u]
-        b = KM.to_bases(spec, kmers[i])
-        if first_flip[u]:
-            b = (3 - b[::-1]) & 3
-        seq_flat[offsets[u] : offsets[u] + spec.k] = b
+    # the first kmer of each unitig contributes all K bases, oriented
+    if nutg:
+        fk = KM.to_bases_batch_np(spec, kmers[first_item[:nutg]])  # (U, K)
+        flip_u = first_flip[:nutg].astype(bool)
+        fk[flip_u] = (3 - fk[flip_u, ::-1]) & 3
+        idx = offsets[:nutg, None] + np.arange(spec.k)[None, :]
+        seq_flat[idx.reshape(-1)] = fk.reshape(-1)
 
-    out = []
-    for u in range(nutg):
-        out.append(
-            (
-                seq_flat[offsets[u] : offsets[u + 1]],
-                int(u_exts[u]),
-                int(data_red[u]),
-            )
-        )
-    return out
+    return [
+        (seq_flat[offsets[u] : offsets[u + 1]], int(u_exts[u]), int(data_red[u]))
+        for u in range(nutg)
+    ]

@@ -205,33 +205,44 @@ def count_kmers(
     (skeys, (sexts, slab)) = S.sort_with_payload(keys, [ef, lab])
     sinv, slimbs = skeys[0], skeys[1:]
     svalid = sinv == 0
-    skmers = S.keys_to_limbs(slimbs)
-
     starts = S.run_starts(slimbs, svalid)
-    seg = S.segment_ids(starts, svalid)
 
-    counts = S.segment_sum(svalid.astype(jnp.int32), seg, n)
-    counts = jnp.minimum(counts, 65535)
-    uexts = S.segment_or8(sexts, seg, n)
+    # scatter-free segmented reductions: XLA lowers scatters poorly on TPU
+    # (~300us each at n=266k vs ~40us for a sort), so all grouping work is
+    # done with segmented scans over the sorted runs + stable partitions.
+    pos = jnp.arange(n, dtype=jnp.int32)
+    nxt_boundary = jnp.concatenate(
+        [starts[1:] | ~svalid[1:], jnp.ones(1, bool)]
+    )
+    is_end = svalid & nxt_boundary
+
+    or_scan = S.seg_or_scan(sexts, starts)
+    carry = [pos, or_scan]
     if data_reduce == "label_first":
-        udata = S.segment_first(slab, seg, n, starts)
+        lab_red = slab  # stable sort keeps first occurrence at run start
     elif data_reduce == "min":
-        udata = S.segment_min(slab, seg, n, jnp.iinfo(jnp.int32).max)
+        carry.append(S.seg_op_scan(slab, starts, jnp.minimum))
     elif data_reduce == "max":
-        udata = S.segment_max(slab, seg, n)
+        carry.append(S.seg_op_scan(slab, starts, jnp.maximum))
     elif data_reduce == "sum":
-        udata = S.segment_sum(slab, seg, n)
+        carry.append(S.seg_op_scan(slab, starts, lambda a, b: a + b))
     else:
         raise ValueError(data_reduce)
-    ukmers = jnp.zeros_like(skmers).at[seg].set(skmers, mode="drop")
-    n_unique = starts.sum().astype(jnp.int32)
+    ends = S.seg_last_scan(tuple(carry), is_end)
+    end_pos, or_total = ends[0], ends[1]
+    if data_reduce != "label_first":
+        lab_red = ends[2]
 
-    slot = jnp.arange(n, dtype=jnp.int32)
-    is_unique = slot < n_unique
-    passes = is_unique & (counts >= min_obs)
-    n_valid, (vkmers, vexts, vcounts, vdata) = S.compact(
-        passes, [ukmers, uexts, counts, udata]
+    counts = jnp.minimum(end_pos - pos + 1, 65535)
+    passes = starts & (counts >= min_obs)
+    n_valid, vout = S.partition(
+        passes, list(slimbs) + [or_total, counts, lab_red]
     )
+    vkmers = S.keys_to_limbs(vout[: spec.w])
+    vexts, vcounts, vdata = vout[spec.w], vout[spec.w + 1], vout[spec.w + 2]
+
+    n_unique, aout = S.partition(starts, list(slimbs))
+    ukmers = S.keys_to_limbs(aout)
 
     return KmerTableDev(
         spec=spec,
@@ -521,6 +532,36 @@ class KmerTable:
             (KM.to_int(self.spec, self.kmers[i]), int(self.exts[i]), int(self.counts[i]))
             for i in range(len(self))
         ]
+
+    # -- checkpoint (serde parity: kmers/exts derive Serialize, kmer.rs:231)
+    def save(self, path) -> None:
+        np.savez_compressed(
+            path,
+            k=self.spec.k,
+            stranded=self.stranded,
+            kmers=self.kmers,
+            exts=self.exts,
+            counts=self.counts,
+            data=self.data,
+            **(
+                {"all_kmers": self.all_kmers}
+                if self.all_kmers is not None
+                else {}
+            ),
+        )
+
+    @staticmethod
+    def load(path) -> "KmerTable":
+        z = np.load(path)
+        return KmerTable(
+            spec=KmerSpec(int(z["k"])),
+            stranded=bool(z["stranded"]),
+            kmers=z["kmers"],
+            exts=z["exts"],
+            counts=z["counts"],
+            data=z["data"],
+            all_kmers=z["all_kmers"] if "all_kmers" in z else None,
+        )
 
 
 def filter_kmers(

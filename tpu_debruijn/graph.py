@@ -161,14 +161,18 @@ class DebruijnGraph:
         n = len(base)
         k = self.spec.k
         w = self.spec.w
-        first = np.zeros((n, k), np.uint8)
-        last = np.zeros((n, k), np.uint8)
-        for i in range(n):
-            bs = base.sequences.get_bases(i)
-            first[i] = bs[:k]
-            last[i] = bs[-k:]
-        self.first_kmers = KM.from_bases_batch_np(self.spec, first) if n else np.zeros((0, w), np.uint32)
-        self.last_kmers = KM.from_bases_batch_np(self.spec, last) if n else np.zeros((0, w), np.uint32)
+        if n:
+            flat = base.sequences._flat()
+            starts = np.asarray(base.sequences.start, np.int64)
+            lens = np.asarray(base.sequences.length, np.int64)
+            ar = np.arange(k)[None, :]
+            first = flat[starts[:, None] + ar]
+            last = flat[(starts + lens - k)[:, None] + ar]
+            self.first_kmers = KM.from_bases_batch_np(self.spec, first)
+            self.last_kmers = KM.from_bases_batch_np(self.spec, last)
+        else:
+            self.first_kmers = np.zeros((0, w), np.uint32)
+            self.last_kmers = np.zeros((0, w), np.uint32)
         self.exts = np.asarray(base.exts, np.int32)
         self.data = np.asarray(base.data, np.int32)
 

@@ -111,6 +111,17 @@ def from_bases_batch_np(spec: KmerSpec, rows: np.ndarray) -> np.ndarray:
     return (padded << shifts).sum(axis=2, dtype=np.uint32)
 
 
+def to_bases_batch_np(spec: KmerSpec, limbs: np.ndarray) -> np.ndarray:
+    """Host-vectorized inverse of from_bases_batch_np: (N, W) -> (N, K)."""
+    limbs = np.asarray(limbs, np.uint32)
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+    # (N, W, 16) -> (N, 16W), keep the low-order K positions
+    all_b = ((limbs[:, :, None] >> shifts[None, None, :]) & 3).reshape(
+        limbs.shape[0], -1
+    )
+    return all_b[:, 16 * spec.w - spec.k :].astype(np.uint8)
+
+
 def to_bases(spec: KmerSpec, limbs) -> np.ndarray:
     """Host: (W,) limbs -> (K,) array of 2-bit codes."""
     v = to_int(spec, limbs)

@@ -199,7 +199,7 @@ def msp_intervals_device(
     bucket = KM.min_rc(spec_p, min_rank.astype(jnp.uint32)[..., None])[..., 0]
 
     sel = fflat
-    cnt, (o_read, o_start, o_len, o_rank, o_mpos, o_bucket, o_exts) = S.compact(
+    cnt, (o_read, o_start, o_len, o_rank, o_mpos, o_bucket, o_exts) = S.partition(
         sel,
         [
             read_id.reshape(n),
