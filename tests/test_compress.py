@@ -134,3 +134,35 @@ class _MinLabel:
             labels.append(d)
             all_exts |= exts
         return len(labels) >= self.min_kmer_obs, all_exts, min(labels)
+
+
+def test_compress_kmers_no_exts(rng):
+    """compress_kmers_no_exts (compression.rs:619-659): exts inferred from
+    set membership produce unitigs whose kmers partition the input set."""
+    from tpu_debruijn import kmer as KM
+    from tpu_debruijn.kmer import KmerSpec
+
+    k = 16
+    spec = KmerSpec(k)
+    contigs = O.simple_random_contigs(rng)
+    reads = [(np.asarray(c, np.uint8), 0, 0) for c in contigs]
+    for stranded in (False, True):
+        table = F.filter_kmers(reads, k, stranded=stranded, min_obs=1)
+        nodes = C.compress_kmers_no_exts(
+            k, table.kmers, stranded=stranded
+        )
+        # inferred-ext graph must cover exactly the input kmer set
+        want = {KM.to_int(spec, table.kmers[i]) for i in range(len(table))}
+        got = []
+        for seq, _, _ in nodes:
+            s = np.asarray(seq)
+            for i in range(len(s) - k + 1):
+                km = KM.from_bases(spec, s[i : i + k])
+                if not stranded:
+                    km = np.asarray(
+                        KM.min_rc(spec, km[None])[0]
+                    )
+                got.append(KM.to_int(spec, km))
+        assert sorted(got) == sorted(want)
+        # each kmer appears exactly once across unitigs
+        assert len(got) == len(want)

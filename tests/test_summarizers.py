@@ -94,3 +94,57 @@ def test_remove_censored_exts_parity(rng, stranded):
     got2 = [(F.KM.to_int(table.spec, t_sh.kmers[i]), int(t_sh.exts[i]))
             for i in range(len(t_sh))]
     assert got2 == [(kv, e) for kv, e, _ in owant2]
+
+
+def test_pluggable_summarizer_matches_fast_path(rng):
+    """filter_kmers_with_summarizer(CountFilter) == the on-device fast path."""
+    k = 16
+    reads = _make_labeled_reads(rng)
+    for stranded, min_obs in [(False, 1), (False, 2), (True, 2)]:
+        fast = F.filter_kmers(reads, k, stranded=stranded, min_obs=min_obs)
+        slow, data = F.filter_kmers_with_summarizer(
+            reads, k, F.CountFilter(min_obs), stranded=stranded
+        )
+        assert np.array_equal(fast.kmers, slow.kmers)
+        assert np.array_equal(fast.exts, slow.exts)
+        assert np.array_equal(fast.counts, slow.counts)
+        assert data == [int(c) for c in fast.counts]
+
+
+def test_pluggable_summarizer_set_and_eqclass(rng):
+    k = 16
+    reads = _make_labeled_reads(rng, n_labels=3)
+    fast_table, fast_sets = F.filter_kmers_set(reads, k, stranded=False, min_obs=1)
+    _, sets = F.filter_kmers_with_summarizer(
+        reads, k, F.CountFilterSet(1), stranded=False
+    )
+    assert sets == fast_sets
+
+    eq = F.CountFilterEqClass(1)
+    table, ids = F.filter_kmers_with_summarizer(reads, k, eq, stranded=False)
+    inv = {v: kset for kset, v in eq.eq_classes.items()}
+    for i, d in enumerate(ids):
+        assert inv[d] == sets[i]
+
+
+def test_custom_summarizer(rng):
+    """An arbitrary user policy: valid iff seen with >= 2 distinct labels;
+    data = max label (impossible with the built-in fast paths)."""
+
+    class TwoColor(F.KmerSummarizer):
+        def summarize(self, exts, labels):
+            u = set(int(x) for x in labels)
+            return len(u) >= 2, int(np.bitwise_or.reduce(exts)), max(u)
+
+    k = 16
+    reads = _make_labeled_reads(rng, n_labels=3)
+    table, data = F.filter_kmers_with_summarizer(reads, k, TwoColor())
+    _, all_sets = F.filter_kmers_set(reads, k, stranded=False, min_obs=1)
+    full, _ = F.filter_kmers_set(reads, k, stranded=False, min_obs=1)
+    want = [
+        (tuple(full.kmers[i]), max(all_sets[i]))
+        for i in range(len(full))
+        if len(all_sets[i]) >= 2
+    ]
+    got = [(tuple(table.kmers[i]), data[i]) for i in range(len(table))]
+    assert got == want

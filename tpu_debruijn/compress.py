@@ -423,6 +423,89 @@ def _reduce_np(op: str, vals: np.ndarray, uid: np.ndarray, n_unitigs: int):
     raise ValueError(op)
 
 
+def infer_exts_device(spec: KmerSpec, stranded: bool, kmers, n_valid):
+    """Infer extension bytes from set membership alone.
+
+    compress_kmers_no_exts semantics (compression.rs:628-646): for each of
+    the 8 (direction, base) neighbors of a kmer, set the extension bit iff
+    the (canonicalized) neighbor is itself in the kmer set.  Targets are
+    found by vectorized binary search over the sorted kmer array instead of
+    the reference's HashSet.
+    """
+    n = kmers.shape[0]
+    exts = jnp.zeros(n, jnp.int32)
+    valid = jnp.arange(n, dtype=jnp.int32) < n_valid
+    for d in (LEFT, RIGHT):
+        for b in range(4):
+            cand = (
+                KM.extend_left(spec, kmers, jnp.uint32(b))
+                if d == LEFT
+                else KM.extend_right(spec, kmers, jnp.uint32(b))
+            )
+            if not stranded:
+                cand = KM.min_rc(spec, cand)
+            _, found = S.searchsorted_limbs(kmers, cand, n_valid)
+            exts = jnp.where(valid & found, E.set_ext(exts, d, b), exts)
+    return exts
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _infer_exts_jit(spec, stranded, kmers, n_valid):
+    return infer_exts_device(spec, stranded, kmers, n_valid)
+
+
+def compress_kmers_no_exts(
+    k: int,
+    kmers: np.ndarray,
+    data: Optional[np.ndarray] = None,
+    *,
+    stranded: bool = False,
+    data_reduce: str = "sum_sat_u16",
+    join_on_data: bool = False,
+):
+    """Host API: kmer set without extensions -> unitig list.
+
+    compress_kmers_no_exts equivalent (compression.rs:619-659): extensions
+    are inferred from set membership (a bit is set iff the neighbor kmer is
+    present), then normal path compression runs.  ``kmers`` is an (n, W)
+    uint32 limb array (any order; duplicates are dropped);
+    ``data`` is an optional aligned int payload.
+
+    Returns list of (bases, exts, data) like :func:`compress_kmers`.
+    """
+    from tpu_debruijn.filter import KmerTable
+
+    spec = KmerSpec(k)
+    kmers = np.asarray(kmers, np.uint32).reshape(-1, spec.w)
+    if data is None:
+        data = np.zeros(len(kmers), np.int32)
+    data = np.asarray(data, np.int32)
+    order = np.lexsort(tuple(kmers[:, i] for i in range(spec.w - 1, -1, -1)))
+    kmers, data = kmers[order], data[order]
+    if len(kmers) > 1:
+        keep = np.ones(len(kmers), bool)
+        keep[1:] = (kmers[1:] != kmers[:-1]).any(axis=1)
+        kmers, data = kmers[keep], data[keep]
+    n = len(kmers)
+    if n == 0:
+        return []
+    exts = np.asarray(_infer_exts_jit(spec, stranded, jnp.asarray(kmers), jnp.int32(n)))
+    table = KmerTable(
+        spec=spec,
+        stranded=stranded,
+        kmers=kmers,
+        exts=exts,
+        counts=np.ones(n, np.int32),
+        data=data,
+    )
+    return compress_kmers(
+        table,
+        data_reduce=data_reduce,
+        join_on_data=join_on_data,
+        data_field="data",
+    )
+
+
 def compress_kmers(
     table,
     *,

@@ -413,6 +413,156 @@ def filter_kmers_eq_classes(
     return table, eq_classes
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _sorted_obs_jit(spec, stranded, bases, lengths, seq_exts, labels):
+    """Device half of the pluggable-summarizer path: every kmer observation,
+    canonicalized and lexicographically sorted (equal kmers adjacent)."""
+    kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
+    kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
+    n = kmers.shape[0] * kmers.shape[1]
+    kf = kmers.reshape(n, spec.w)
+    ef = exts.reshape(n)
+    vf = valid.reshape(n)
+    lab = jnp.broadcast_to(
+        jnp.asarray(labels, jnp.int32)[:, None], valid.shape
+    ).reshape(n)
+    inv = (~vf).astype(jnp.uint32)
+    keys = [inv] + S.limbs_to_keys(kf)
+    (skeys, (sexts, slab)) = S.sort_with_payload(keys, [ef, lab])
+    return (
+        S.keys_to_limbs(skeys[1:]),
+        sexts,
+        slab,
+        vf.sum().astype(jnp.int32),
+    )
+
+
+class KmerSummarizer:
+    """The pluggable per-kmer reduction (KmerSummarizer trait,
+    filter.rs:27-38).  ``summarize(exts, labels)`` receives every
+    observation of one kmer — ``exts`` (m,) int extension bytes and
+    ``labels`` (m,) int payloads — and returns
+    ``(is_valid, folded_exts, summary_data)``.
+    """
+
+    def summarize(self, exts: np.ndarray, labels: np.ndarray):
+        raise NotImplementedError
+
+
+class CountFilter(KmerSummarizer):
+    """count >= min_obs; data = u16-saturated count (filter.rs:40-63)."""
+
+    def __init__(self, min_obs: int):
+        self.min_obs = min_obs
+
+    def summarize(self, exts, labels):
+        count = min(len(exts), 65535)
+        return count >= self.min_obs, int(np.bitwise_or.reduce(exts)), count
+
+
+class CountFilterSet(KmerSummarizer):
+    """data = sorted deduplicated label tuple (filter.rs:68-101)."""
+
+    def __init__(self, min_obs: int):
+        self.min_obs = min_obs
+
+    def summarize(self, exts, labels):
+        return (
+            len(exts) >= self.min_obs,
+            int(np.bitwise_or.reduce(exts)),
+            tuple(sorted(set(int(x) for x in labels))),
+        )
+
+
+class CountFilterEqClass(KmerSummarizer):
+    """data = equivalence-class id over label sets (the Cell Ranger
+    pattern built on the reference's trait); ``self.eq_classes`` maps
+    id -> label tuple."""
+
+    def __init__(self, min_obs: int):
+        self.min_obs = min_obs
+        self.eq_classes: dict = {}
+
+    def summarize(self, exts, labels):
+        key = tuple(sorted(set(int(x) for x in labels)))
+        eq_id = self.eq_classes.setdefault(key, len(self.eq_classes))
+        return len(exts) >= self.min_obs, int(np.bitwise_or.reduce(exts)), eq_id
+
+
+def filter_kmers_with_summarizer(
+    seqs,
+    k: int,
+    summarizer: KmerSummarizer,
+    *,
+    stranded: bool = False,
+    report_all: bool = False,
+):
+    """Fully pluggable filter_kmers (filter.rs:139): arbitrary Python
+    summarizers, exactly the reference trait's power.
+
+    The device does the heavy lifting (extraction, canonicalization, the
+    sort that groups equal kmers); the host walks groups and calls
+    ``summarizer.summarize``.  The fast paths (:func:`filter_kmers`,
+    :func:`filter_kmers_set`) cover the built-in summarizers entirely
+    on-device — use this for custom policies.
+
+    Returns (KmerTable, data_list) where data_list holds each valid kmer's
+    summary object (table.data gets the int cast when possible).
+    """
+    spec = KmerSpec(k)
+    items = [s for s in seqs if len(s[0]) >= k]
+    empty = KmerTable(
+        spec, stranded,
+        np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
+        np.zeros(0, np.int32), np.zeros(0, np.int32),
+    )
+    if not items:
+        return empty, []
+    bases, lengths = pad_reads([s[0] for s in items], min_len=k, pad_to=16)
+    seq_exts = np.array([s[1] for s in items], dtype=np.int32)
+    labels = np.array([s[2] for s in items], dtype=np.int32)
+    d_kmers, d_exts, d_labs, n_obs = _sorted_obs_jit(
+        spec, stranded, bases, lengths, seq_exts, labels
+    )
+    n = int(n_obs)
+    kmers = np.asarray(d_kmers)[:n]
+    exts = np.asarray(d_exts)[:n]
+    labs = np.asarray(d_labs)[:n]
+    if n == 0:
+        return empty, []
+    new = np.ones(n, bool)
+    new[1:] = (kmers[1:] != kmers[:-1]).any(axis=1)
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], n)
+
+    out_k, out_e, out_d, out_c = [], [], [], []
+    all_rows = []
+    for s, e in zip(starts, ends):
+        ok, fexts, data = summarizer.summarize(exts[s:e], labs[s:e])
+        if report_all:
+            all_rows.append(kmers[s])
+        if ok:
+            out_k.append(kmers[s])
+            out_e.append(fexts)
+            out_d.append(data)
+            out_c.append(min(e - s, 65535))
+    table = KmerTable(
+        spec=spec,
+        stranded=stranded,
+        kmers=np.array(out_k, np.uint32).reshape(-1, spec.w),
+        exts=np.array(out_e, np.int32),
+        counts=np.array(out_c, np.int32),
+        data=np.array(
+            [d if isinstance(d, (int, np.integer)) else 0 for d in out_d],
+            np.int32,
+        ),
+        all_kmers=np.array(all_rows, np.uint32).reshape(-1, spec.w)
+        if report_all
+        else None,
+    )
+    return table, out_d
+
+
 def remove_censored_exts_device(
     spec: KmerSpec,
     stranded: bool,
