@@ -1,5 +1,8 @@
 """Ad-hoc profiling: count vs compress timing at several batch sizes."""
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax
@@ -15,7 +18,7 @@ from tpu_debruijn.kmer import KmerSpec
 import sys
 
 sys.path.insert(0, "/root/repo")
-from bench import make_reads
+from bench import make_reads  # noqa: E402
 
 k = 31
 spec = KmerSpec(k)

@@ -166,3 +166,62 @@ def test_compress_kmers_no_exts(rng):
         assert sorted(got) == sorted(want)
         # each kmer appears exactly once across unitigs
         assert len(got) == len(want)
+
+
+def test_compression_spec_classes(rng):
+    """CompressionSpec / SimpleCompress / ScmapCompress (compression.rs:34-98)."""
+    from tpu_debruijn.compress import ScmapCompress, SimpleCompress
+
+    k = 16
+    c = list(rng.integers(0, 4, 80))
+    seqs = [(np.array(c[:50], dtype=np.uint8), 0, 1),
+            (np.array(c[30:], dtype=np.uint8), 0, 2)]
+    tab = F.filter_kmers(seqs, k, stranded=False, min_obs=1, data_reduce="min")
+
+    # ScmapCompress == the shorthand (join on equal data, keep it)
+    want = C.compress_kmers(tab, data_reduce="first", join_on_data=True,
+                            data_field="data")
+    got = C.compress_kmers(tab, spec=ScmapCompress(), data_field="data")
+    assert [(tuple(int(x) for x in s), e, d) for s, e, d in want] == \
+           [(tuple(int(x) for x in s), e, d) for s, e, d in got]
+
+    # SimpleCompress with a closure == the named segmented op
+    want = C.compress_kmers(tab, data_reduce="sum_sat_u16")
+    got = C.compress_kmers(tab, spec=SimpleCompress(lambda a, b: min(a + b, 0xFFFF)))
+    assert [(tuple(int(x) for x in s), e, d) for s, e, d in want] == \
+           [(tuple(int(x) for x in s), e, d) for s, e, d in got]
+
+    # custom join_labels callable: parity (all labels equal) == no join test
+    got = C.compress_kmers(tab, data_field="data",
+                           spec=C.CompressionSpec(reduce="min",
+                                                  join_labels=lambda d: 0))
+    want = C.compress_kmers(tab, data_reduce="min", data_field="data")
+    assert [(tuple(int(x) for x in s), e, d) for s, e, d in want] == \
+           [(tuple(int(x) for x in s), e, d) for s, e, d in got]
+
+
+def test_compression_spec_in_compress_graph(rng):
+    """compress_graph accepts a CompressionSpec (compression.rs:291-349)."""
+    from tpu_debruijn.compress import SimpleCompress
+    from tpu_debruijn.graph import BaseGraph, compress_graph
+
+    k = 16
+    contigs = O.simple_random_contigs(rng)
+    seqs = [(np.asarray(c, np.uint8), 0, 0) for c in contigs if len(c) >= k]
+    tab = F.filter_kmers(seqs, k, stranded=False, min_obs=1)
+    # 1-node-per-kmer graph, then re-compress with a closure spec
+    g = BaseGraph(k, False)
+    for i in range(len(tab)):
+        import tpu_debruijn.kmer as KM
+        g.add(KM.to_bases_batch_np(tab.spec, tab.kmers[i : i + 1])[0],
+              int(tab.exts[i]), int(tab.counts[i]))
+    dbg = g.finish()
+    out = compress_graph(dbg, spec=SimpleCompress(lambda a, b: min(a + b, 0xFFFF)))
+    ref = compress_graph(dbg, data_reduce="sum_sat_u16")
+    assert len(out) == len(ref)
+    assert out.is_compressed() is None
+    got = sorted((tuple(out.base.sequences.get_bases(i)), int(out.data[i]))
+                 for i in range(len(out)))
+    want = sorted((tuple(ref.base.sequences.get_bases(i)), int(ref.data[i]))
+                  for i in range(len(ref)))
+    assert got == want

@@ -84,3 +84,66 @@ def test_packed_seq_set(rng):
     for i, q in enumerate(seqs):
         assert np.array_equal(s.get_bases(i), q)
         assert s.get(i) == DnaSeq.from_bases(q)
+
+
+def test_set_base(rng):
+    # MerImmut::set (lib.rs:331-346)
+    b = rng.integers(0, 4, 45).astype(np.uint8)
+    s = DnaSeq.from_bases(b)
+    for _ in range(20):
+        pos = int(rng.integers(0, 45))
+        val = int(rng.integers(0, 4))
+        s2 = s.set(pos, val)
+        want = b.copy()
+        want[pos] = val
+        assert np.array_equal(s2.bases(), want)
+        assert np.array_equal(s.bases(), b)  # original untouched
+
+
+def test_ndiffs_matches_naive(rng):
+    # dna_string.rs:1071-1089: ndiffs == elementwise count, over many lengths
+    for L in [1, 5, 16, 17, 31, 32, 100, 333]:
+        a = rng.integers(0, 4, L).astype(np.uint8)
+        b = a.copy()
+        flips = rng.random(L) < 0.15
+        b[flips] = (b[flips] + 1 + rng.integers(0, 3, int(flips.sum()))) % 4
+        sa, sb = DnaSeq.from_bases(a), DnaSeq.from_bases(b)
+        assert sa.ndiffs(sb) == int((a != b).sum())
+        assert sa.ndiffs(sb) == sa.hamming_distance(sb)
+
+
+def test_at_gc_counts(rng):
+    b = rng.integers(0, 4, 77).astype(np.uint8)
+    s = DnaSeq.from_bases(b)
+    assert s.at_count() == int(((b == 0) | (b == 3)).sum())
+    assert s.gc_count() == int(((b == 1) | (b == 2)).sum())
+    assert s.at_count() + s.gc_count() == len(s)
+
+
+def test_iter_kmer_exts_vs_oracle(rng):
+    # Vmer::iter_kmer_exts (lib.rs:408-421, KmerExtsIter lib.rs:809-842)
+    from tpu_debruijn.oracle import ref as O
+
+    k = 8
+    spec = KmerSpec(k)
+    b = rng.integers(0, 4, 30).astype(np.uint8)
+    seq_exts = 0b0010_0100  # left ext G, right ext C
+    s = DnaSeq.from_bases(b)
+    got = [(KM.to_int(spec, km), e) for km, e in s.iter_kmer_exts(k, seq_exts)]
+    want = list(O.iter_kmer_exts(list(b), k, seq_exts))
+    assert got == want
+
+
+def test_kmers_from_bytes_and_ascii(rng):
+    # Kmer::kmers_from_bytes / kmers_from_ascii (lib.rs:288-327)
+    k = 11
+    spec = KmerSpec(k)
+    b = rng.integers(0, 4, 40).astype(np.uint8)
+    ks = KM.kmers_from_bytes(spec, b)
+    assert ks.shape == (40 - k + 1, spec.w)
+    for i in range(len(ks)):
+        assert KM.to_int(spec, ks[i]) == KM.to_int(spec, KM.from_bases(spec, b[i:i+k]))
+    from tpu_debruijn.bases import bases_to_str
+    ka = KM.kmers_from_ascii(spec, bases_to_str(b))
+    assert np.array_equal(ks, ka)
+    assert KM.kmers_from_bytes(spec, b[: k - 1]).shape == (0, spec.w)

@@ -34,6 +34,7 @@ from tpu_debruijn.bases import (
     dna_only_base_to_bits,
     is_valid_base,
 )
+from tpu_debruijn.compress import CompressionSpec, ScmapCompress, SimpleCompress
 from tpu_debruijn.exts import Dir, Exts
 from tpu_debruijn.kmer import KmerSpec
 

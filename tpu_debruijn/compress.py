@@ -399,6 +399,53 @@ def _compress_jit(spec, stranded, use_join, kmers, exts, n_valid, join_labels):
     )
 
 
+class CompressionSpec:
+    """Pluggable unitig-merge policy (compression.rs:34-38).
+
+    Two knobs, mirroring the reference trait:
+
+    * ``reduce`` — folds per-item data along the unitig.  Either a named
+      associative op (``"sum_sat_u16"``, ``"sum"``, ``"max"``, ``"min"``,
+      ``"first"``) executed as a segmented reduction, or an arbitrary
+      Python closure ``reduce(path_data, item_data) -> data`` folded
+      host-side in unitig path order (left to right).
+    * ``join_labels`` — optional callable mapping item data to an int
+      label; two adjacent items may merge only if their labels are equal.
+      This is the reference's ``join_test`` (compression.rs:37) restricted
+      to equivalence tests — the only kind its shipped specs use
+      (ScmapCompress joins on equality, compression.rs:84-98).  Pass
+      ``join_labels=True`` to join on raw data equality.
+    """
+
+    def __init__(self, reduce="sum_sat_u16", join_labels=None):
+        self.reduce = reduce
+        self.join_labels = join_labels
+
+    def label_array(self, data: np.ndarray):
+        """Per-item int labels for the equality join mask, or None."""
+        if self.join_labels is None:
+            return None
+        if self.join_labels is True:
+            return np.asarray(data, np.int32)
+        return np.asarray(
+            [self.join_labels(int(d)) for d in np.asarray(data)], np.int32
+        )
+
+
+class SimpleCompress(CompressionSpec):
+    """Closure/named-op reduce, unconditional join (compression.rs:40-65)."""
+
+    def __init__(self, reduce):
+        super().__init__(reduce=reduce, join_labels=None)
+
+
+class ScmapCompress(CompressionSpec):
+    """Join only equal data; unitig keeps that data (compression.rs:68-98)."""
+
+    def __init__(self):
+        super().__init__(reduce="first", join_labels=True)
+
+
 def _reduce_np(op: str, vals: np.ndarray, uid: np.ndarray, n_unitigs: int):
     if op == "sum_sat_u16":
         acc = np.zeros(n_unitigs, np.int64)
@@ -421,6 +468,21 @@ def _reduce_np(op: str, vals: np.ndarray, uid: np.ndarray, n_unitigs: int):
         acc[uid] = vals
         return acc
     raise ValueError(op)
+
+
+def _fold_closure(fn, vals, uid, pos, n_unitigs):
+    """Fold an arbitrary reduce closure in unitig path order (host-side).
+
+    Matches CompressionSpec::reduce folding along build_node's path
+    (compression.rs:510,531) up to fold order: ours is always left-to-right
+    along the emitted unitig.
+    """
+    order = np.lexsort((pos, uid))
+    acc = [None] * n_unitigs
+    for i in order:
+        u = int(uid[i])
+        acc[u] = int(vals[i]) if acc[u] is None else fn(acc[u], int(vals[i]))
+    return np.asarray([0 if a is None else a for a in acc], np.int32)
 
 
 def infer_exts_device(spec: KmerSpec, stranded: bool, kmers, n_valid):
@@ -462,6 +524,7 @@ def compress_kmers_no_exts(
     stranded: bool = False,
     data_reduce: str = "sum_sat_u16",
     join_on_data: bool = False,
+    spec: Optional[CompressionSpec] = None,
 ):
     """Host API: kmer set without extensions -> unitig list.
 
@@ -475,6 +538,7 @@ def compress_kmers_no_exts(
     """
     from tpu_debruijn.filter import KmerTable
 
+    cspec = spec
     spec = KmerSpec(k)
     kmers = np.asarray(kmers, np.uint32).reshape(-1, spec.w)
     if data is None:
@@ -503,6 +567,7 @@ def compress_kmers_no_exts(
         data_reduce=data_reduce,
         join_on_data=join_on_data,
         data_field="data",
+        spec=cspec,
     )
 
 
@@ -512,31 +577,38 @@ def compress_kmers(
     data_reduce: str = "sum_sat_u16",
     join_on_data: bool = False,
     data_field: str = "counts",
+    spec: Optional[CompressionSpec] = None,
 ):
     """Host API: KmerTable -> list of unitigs [(bases, exts, data)].
 
     Equivalent to compress_kmers_with_hash (compression.rs:588) followed by
-    reading BaseGraph node arrays.  ``data_reduce`` folds the per-kmer data
-    (associative/commutative ops only); ``join_on_data`` enables the
-    ScmapCompress-style join_test (only equal data may merge,
-    compression.rs:84-98).
+    reading BaseGraph node arrays.  Policy comes from ``spec`` (a
+    :class:`CompressionSpec`) or from the shorthand knobs: ``data_reduce``
+    folds the per-kmer data, ``join_on_data`` enables the ScmapCompress
+    join_test (only equal data may merge, compression.rs:84-98).
     """
-    spec = table.spec
+    kspec = table.spec
     n = len(table.kmers)
     if n == 0:
         return []
     kmers = jnp.asarray(table.kmers)
     exts = jnp.asarray(table.exts)
     data_np = np.asarray(getattr(table, data_field))
-    labels = jnp.asarray(data_np, jnp.int32)
+    if spec is not None:
+        data_reduce = spec.reduce
+        label_np = spec.label_array(data_np)
+        join_on_data = label_np is not None
+        labels = jnp.asarray(data_np if label_np is None else label_np, jnp.int32)
+    else:
+        labels = jnp.asarray(data_np, jnp.int32)
     chains, u_exts, contrib = _compress_jit(
-        spec, table.stranded, join_on_data, kmers, exts, jnp.int32(n), labels
+        kspec, table.stranded, join_on_data, kmers, exts, jnp.int32(n), labels
     )
     log.debug(
         "compress_kmers: %d kmers -> %d unitigs", n, int(chains.n_unitigs)
     )
     return assemble_unitigs(
-        spec,
+        kspec,
         table.kmers,
         np.asarray(chains.uid),
         np.asarray(chains.pos),
@@ -574,7 +646,10 @@ def assemble_unitigs(
     callers can pass whole device buffers without trimming.
     """
     live = uid >= 0
-    data_red = _reduce_np(data_reduce, data_np[live], uid[live], nutg)
+    if callable(data_reduce):
+        data_red = _fold_closure(data_reduce, data_np[live], uid[live], pos[live], nutg)
+    else:
+        data_red = _reduce_np(data_reduce, data_np[live], uid[live], nutg)
 
     offsets = np.zeros(nutg + 1, np.int64)
     offsets[1:] = np.cumsum(lengths[:nutg] + spec.k - 1)

@@ -149,11 +149,36 @@ class DnaSeq:
     def last_kmer(self, k: int) -> np.ndarray:
         return self.get_kmer(k, self.length - k)
 
+    def set(self, pos: int, val: int) -> "DnaSeq":
+        """New sequence with base ``pos`` replaced (MerImmut, lib.rs:331)."""
+        w, o = divmod(pos, 16)
+        words = self.words.copy()
+        sh = np.uint32(30 - 2 * o)
+        words[w] = (words[w] & ~(np.uint32(3) << sh)) | (np.uint32(val & 3) << sh)
+        return DnaSeq(words, self.length)
+
     def iter_kmers(self, k: int):
         b = self.bases()
         spec = KmerSpec(k)
         for i in range(self.length - k + 1):
             yield KM.from_bases(spec, b[i : i + k])
+
+    def iter_kmer_exts(self, k: int, seq_exts: int = 0):
+        """Yield (kmer limbs, exts) per position (Vmer::iter_kmer_exts,
+        lib.rs:408-421): each kmer's extensions are its neighboring bases
+        within this sequence, falling back to ``seq_exts`` at the ends."""
+        from tpu_debruijn import exts as E
+
+        b = self.bases()
+        spec = KmerSpec(k)
+        n = self.length - k + 1
+        for i in range(n):
+            e = E.from_slice_bounds(b, i, k)
+            if i == 0:
+                e |= seq_exts & 0x0F
+            if i == n - 1:
+                e |= seq_exts & 0xF0
+            yield KM.from_bases(spec, b[i : i + k]), int(e)
 
     def slice(self, start: int, end: int) -> "DnaSeq":
         return DnaSeq.from_bases(self.bases()[start:end])
@@ -172,6 +197,26 @@ class DnaSeq:
 
     def hamming_distance(self, other: "DnaSeq") -> int:
         return int((self.bases() != other.bases()).sum())
+
+    def ndiffs(self, other: "DnaSeq") -> int:
+        """Differing-base count via packed-word XOR + popcount, the
+        reference's block-wise fast path (dna_string.rs:523-539)."""
+        if self.length != other.length:
+            raise ValueError("ndiffs requires equal lengths")
+        x = self.words ^ other.words
+        pair = (x | (x >> np.uint32(1))) & np.uint32(0x55555555)
+        return int(
+            np.unpackbits(pair.view(np.uint8)).sum()
+        )
+
+    def at_count(self) -> int:
+        """Number of A/T bases (Mer::at_count, lib.rs:151-158)."""
+        b = self.bases()
+        return int(((b == 0) | (b == 3)).sum())
+
+    def gc_count(self) -> int:
+        """Number of G/C bases (Mer::gc_count, lib.rs:161)."""
+        return self.length - self.at_count()
 
     def to_dna_string(self) -> str:
         return B.bases_to_str(self.bases())

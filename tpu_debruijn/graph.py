@@ -663,12 +663,15 @@ def compress_graph(
     *,
     data_reduce: str = "sum_sat_u16",
     join_on_data: bool = False,
+    spec: "Optional[C.CompressionSpec]" = None,
 ) -> DebruijnGraph:
     """Merge adjacent unbranched nodes, optionally censoring some first.
 
     compress_graph equivalent (compression.rs:291-349): fix_exts against
     the valid set, chain-link the nodes, stitch sequences (dropping K-1
-    overlaps), rebuild, and fix_exts again.
+    overlaps), rebuild, and fix_exts again.  Policy comes from ``spec``
+    (a :class:`tpu_debruijn.compress.CompressionSpec`) or the shorthand
+    ``data_reduce``/``join_on_data`` knobs.
     """
     n = len(graph)
     valid = np.ones(n, bool)
@@ -679,6 +682,13 @@ def compress_graph(
     k = graph.spec.k
     if n == 0:
         return BaseGraph(k, graph.stranded).finish()
+    label_np = graph.data
+    if spec is not None:
+        data_reduce = spec.reduce
+        la = spec.label_array(graph.data)
+        join_on_data = la is not None
+        if la is not None:
+            label_np = la
     node_len = np.asarray(graph.base.sequences.length, np.int32)
     chains, u_exts = _node_partner_jit(
         graph.spec, graph.stranded, join_on_data,
@@ -686,7 +696,7 @@ def compress_graph(
         jnp.asarray(graph._rk_sorted), jnp.asarray(graph._rk_ids),
         jnp.asarray(graph.first_kmers), jnp.asarray(graph.last_kmers),
         jnp.asarray(graph.exts), jnp.asarray(node_len),
-        jnp.asarray(valid), jnp.asarray(graph.data),
+        jnp.asarray(valid), jnp.asarray(np.asarray(label_np, np.int32)),
     )
     uid = np.asarray(chains.uid)
     pos = np.asarray(chains.pos)
@@ -695,7 +705,12 @@ def compress_graph(
     u_exts = np.asarray(u_exts)[:nutg]
 
     live = uid >= 0
-    data_red = C._reduce_np(data_reduce, graph.data[live], uid[live], nutg)
+    if callable(data_reduce):
+        data_red = C._fold_closure(
+            data_reduce, graph.data[live], uid[live], pos[live], nutg
+        )
+    else:
+        data_red = C._reduce_np(data_reduce, graph.data[live], uid[live], nutg)
 
     # stitch sequences host-side in (uid, pos) order
     order = np.lexsort((pos[live], uid[live]))

@@ -122,6 +122,25 @@ def to_bases_batch_np(spec: KmerSpec, limbs: np.ndarray) -> np.ndarray:
     return all_b[:, 16 * spec.w - spec.k :].astype(np.uint8)
 
 
+def kmers_from_bytes(spec: KmerSpec, bases) -> np.ndarray:
+    """All kmers of a 2-bit coded array -> (N-K+1, W) limbs (lib.rs:288-305).
+
+    Returns an empty (0, W) array when the input is shorter than K.
+    """
+    bases = np.asarray(bases, np.uint8)
+    if len(bases) < spec.k:
+        return np.zeros((0, spec.w), np.uint32)
+    win = np.lib.stride_tricks.sliding_window_view(bases, spec.k)
+    return from_bases_batch_np(spec, win)
+
+
+def kmers_from_ascii(spec: KmerSpec, s) -> np.ndarray:
+    """All kmers of an ASCII ACGT string (lib.rs:307-327)."""
+    from tpu_debruijn import bases as B
+
+    return kmers_from_bytes(spec, B.ascii_to_bases(s))
+
+
 def to_bases(spec: KmerSpec, limbs) -> np.ndarray:
     """Host: (W,) limbs -> (K,) array of 2-bit codes."""
     v = to_int(spec, limbs)
