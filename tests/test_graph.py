@@ -255,3 +255,28 @@ def test_combine_rejects_mixed_strandedness():
     b = G.BaseGraph(16, False)
     with pytest.raises(ValueError):
         G.BaseGraph.combine([a, b])
+
+
+def test_max_path_beam_multi_node(rng):
+    # beam search walks a multi-node chain end to end (graph.rs:712-841).
+    # Label breaks (ScmapCompress join) split one linear genome into
+    # several nodes; the beam must stitch them back.
+    k = 15
+    genome = rng.integers(0, 4, 200)
+    reads = [
+        (genome[:80], 0, 1),
+        (genome[60:140], 0, 2),
+        (genome[120:], 0, 3),
+    ]
+    tab = F.filter_kmers(reads, k, stranded=True, min_obs=1, data_reduce="min")
+    nodes = C.compress_kmers(
+        tab, data_reduce="first", join_on_data=True, data_field="data"
+    )
+    g = G.from_compress_output(k, True, nodes).finish()
+    assert len(g) >= 3
+    path = g.max_path_beam(8, lambda d: 1.0, lambda d: True)
+    assert len(path) == len(g)  # linear graph: best path covers all nodes
+    seq = g.sequence_of_path(path).bases()
+    assert np.array_equal(seq, genome) or np.array_equal(
+        (3 - seq[::-1]).astype(seq.dtype), genome
+    )
