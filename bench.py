@@ -76,7 +76,10 @@ def main():
     from tpu_debruijn import filter as F
     from tpu_debruijn.kmer import KmerSpec
 
-    n_reads = args.reads or (512 if args.quick else 2048)
+    # 8192 reads ≈ 1.06M kmers/batch: deep enough to amortize dispatch and
+    # hit the sort's bandwidth-bound regime (measured 4.9 Gkmer/s vs
+    # 2.4 Gkmer/s at 2048 reads on v5e)
+    n_reads = args.reads or (512 if args.quick else 8192)
     k = args.k
     spec = KmerSpec(k)
     bases = make_reads(n_reads, args.read_len, 100_000)

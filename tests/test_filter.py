@@ -150,3 +150,23 @@ def test_kmer_table_checkpoint(tmp_path, rng):
     assert np.array_equal(t2.exts, t.exts)
     assert np.array_equal(t2.counts, t.counts)
     assert np.array_equal(t2.all_kmers, t.all_kmers)
+
+
+def test_streaming_memory_gb_knob(rng):
+    # memory_size-style bound (filter.rs:139-145): a tiny budget forces
+    # multiple chunks; result still equals the one-shot pipeline
+    from tpu_debruijn.oracle import ref as O
+
+    k = 16
+    contigs = O.random_contigs(rng)
+    reads = []
+    for c in contigs:
+        c = np.asarray(c, np.uint8)
+        for s in range(0, max(1, len(c) - 40), 17):
+            reads.append((c[s : s + 40], 0, 0))
+    one = F.filter_kmers(reads, k, stranded=False, min_obs=2)
+    stream = F.filter_kmers_streaming(
+        reads, k, stranded=False, min_obs=2,
+        read_len_cap=64, memory_gb=2e-4,   # ~200 KB -> a few hundred reads/chunk
+    )
+    assert one.to_tuples() == stream.to_tuples()

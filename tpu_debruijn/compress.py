@@ -77,7 +77,6 @@ def resolve_edges(
 
     partners = {}
     ins = {}
-    pre = {}
     for d in (LEFT, RIGHT):
         uniq, base = E.unique_extension(exts, d)
         cand = (

@@ -776,6 +776,7 @@ def filter_kmers_streaming(
     data_reduce: str = "label_first",
     chunk_reads: int = 4096,
     read_len_cap: Optional[int] = None,
+    memory_gb: Optional[float] = None,
 ) -> KmerTable:
     """Memory-bounded streaming counting (filter.rs:151-183 equivalent).
 
@@ -786,9 +787,20 @@ def filter_kmers_streaming(
     accumulate globally before the ``min_obs`` threshold is applied, so the
     result equals single-pass ``filter_kmers``.
 
+    ``memory_gb`` mirrors the reference's ``memory_size`` parameter
+    (filter.rs:139-145): when given (and ``read_len_cap`` is known or
+    derivable), ``chunk_reads`` is sized so the device working set stays
+    under that bound.
+
     ``seqs`` may be any iterable of (bases, seq_exts, label).
     """
     spec = KmerSpec(k)
+    if memory_gb is not None and read_len_cap is not None:
+        # working set per read ≈ Lk kmer slots × (W limbs + exts + label +
+        # count + sort keys ≈ W+5 int32 lanes), double-buffered by the sort
+        lk = max(read_len_cap - k + 1, 1)
+        bytes_per_read = lk * (spec.w + 5) * 4 * 2
+        chunk_reads = max(256, int(memory_gb * 1e9 / bytes_per_read))
     cap = read_len_cap
     parts = []
     chunk: List = []
