@@ -170,3 +170,20 @@ def test_streaming_memory_gb_knob(rng):
         read_len_cap=64, memory_gb=2e-4,   # ~200 KB -> a few hundred reads/chunk
     )
     assert one.to_tuples() == stream.to_tuples()
+
+
+def test_kmer_table_lookup(rng):
+    # BoomHashMap2 query surface (filter.rs:9,228): get / get_key_id / get_key
+    from tpu_debruijn import kmer as KM
+
+    k = 16
+    genome = rng.integers(0, 4, 300)
+    tab = F.filter_kmers([(genome, 0, 7)], k, stranded=False, min_obs=1)
+    assert len(tab) > 0
+    for i in [0, len(tab) // 2, len(tab) - 1]:
+        limbs = tab.get_key(i)
+        assert tab.get_key_id(limbs) == i
+        assert tab.get(limbs) == (int(tab.exts[i]), int(tab.data[i]))
+    absent = KM.from_bases(tab.spec, np.zeros(k, np.uint8))
+    if tab.get_key_id(absent) is None:
+        assert tab.get(absent) is None

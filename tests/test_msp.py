@@ -39,9 +39,11 @@ def test_msp_blank():
         _cmp([np.zeros(L, np.uint8)], 31, 6, None, True)
 
 
-def test_msp_invariants(rng):
-    # every kmer covered exactly once; p <= len <= 2k-p; minimizer minimal
-    k, p = 24, 6
+@pytest.mark.parametrize("k,p", [(24, 6), (16, 5), (31, 8), (48, 12), (64, 15)])
+def test_msp_invariants(rng, k, p):
+    # check_msp_slices invariants (msp.rs:404-486) over the reference's
+    # k x p sweep range (msp.rs:488-542): every kmer covered exactly once,
+    # p <= len <= 2k-p, reported minimizer is the canonical minimal pmer
     for _ in range(3):
         L = int(rng.integers(2 * k, 6 * k))
         s = rng.integers(0, 4, L).astype(np.uint8)

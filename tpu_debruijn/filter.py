@@ -677,6 +677,42 @@ class KmerTable:
     def kmer_ints(self) -> List[int]:
         return [KM.to_int(self.spec, self.kmers[i]) for i in range(len(self))]
 
+    # -- lookups (BoomHashMap2 surface: filter.rs:9,228; boomphf get) -----
+    def get_key_id(self, kmer_limbs) -> Optional[int]:
+        """Slot id of a kmer, or None (Mphf::try_hash equivalent).
+
+        The table is sorted by kmer, so the id is found by binary search
+        (the engine's replacement for the MPHF; SURVEY.md §1).
+        """
+        q = np.asarray(kmer_limbs, np.uint32).reshape(self.spec.w)
+        lo, hi = 0, len(self.kmers)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            row = self.kmers[mid]
+            c = 0
+            for a, b in zip(row, q):
+                if a != b:
+                    c = -1 if a < b else 1
+                    break
+            if c < 0:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(self.kmers) and np.array_equal(self.kmers[lo], q):
+            return lo
+        return None
+
+    def get(self, kmer_limbs):
+        """(exts, data) of a kmer, or None (BoomHashMap2::get)."""
+        i = self.get_key_id(kmer_limbs)
+        if i is None:
+            return None
+        return int(self.exts[i]), int(self.data[i])
+
+    def get_key(self, i: int) -> np.ndarray:
+        """Kmer limbs at slot i (BoomHashMap2::get_key)."""
+        return self.kmers[i]
+
     def to_tuples(self):
         return [
             (KM.to_int(self.spec, self.kmers[i]), int(self.exts[i]), int(self.counts[i]))
