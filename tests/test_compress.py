@@ -225,3 +225,36 @@ def test_compression_spec_in_compress_graph(rng):
     want = sorted((tuple(ref.base.sequences.get_bases(i)), int(ref.data[i]))
                   for i in range(len(ref)))
     assert got == want
+
+
+def test_high_k_end_to_end(rng):
+    """BASELINE config 3 regime: canonical build at K=47 plus the dual-lane
+    edges K=33 and K=63 (multi-limb extend/rc/searchsorted through the FULL
+    filter+compress pipeline; kmer.rs:51-57 u128 analog)."""
+    contigs = O.simple_random_contigs(rng)
+    for k in (33, 47, 63):
+        _run_case(contigs, k, stranded=False)
+        _run_case(contigs, k, stranded=True)
+
+
+def test_high_k_tip_cleaning(rng):
+    """Tip cleaning at K=47 canonical (BASELINE config 3: clean_graph at
+    high K); invariant: cleaned graph re-compresses to a fixed point."""
+    from tpu_debruijn import clean as CL
+    from tpu_debruijn import graph as G
+
+    k = 47
+    contigs = [rng.integers(0, 4, 300), rng.integers(0, 4, 300)]
+    all_seqs = []
+    for c in contigs:
+        for _ in range(5):
+            all_seqs.append((c, 0, 0))
+        junk = rng.integers(0, 4, 8)
+        err = np.concatenate([c[: len(c) // 2], junk])
+        all_seqs.append((err, 0, 0))
+        all_seqs.append((err, 0, 0))
+    tab = F.filter_kmers(all_seqs, k, stranded=False, min_obs=2)
+    g = G.from_compress_output(k, False, C.compress_kmers(tab)).finish()
+    fixed = CL.clean_tips(g, lambda node: node.len() < k * 2)
+    assert fixed.is_compressed() is None
+    assert len(fixed) >= 2  # the two clean contigs survive
