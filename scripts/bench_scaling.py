@@ -19,7 +19,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 if not os.environ.get("JAX_REAL"):
     os.environ["XLA_FLAGS"] = (
@@ -28,10 +29,12 @@ if not os.environ.get("JAX_REAL"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    cache = os.path.join(_REPO, ".jax_cache_cpu")
 else:
     import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+    cache = os.path.join(_REPO, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
@@ -64,6 +67,15 @@ def run(n_dev: int):
     args = (jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(labels))
     out = fn(*args)
     jax.block_until_ready(out)  # compile + warm
+    # out[-1] is the per-device overflow count: intervals silently dropped
+    # when a destination's cap_per_dest filled.  Any overflow would inflate
+    # the reported throughput (we divide the nominal kmer count by time).
+    dropped = int(np.asarray(out[-1]).sum())
+    if dropped:
+        raise RuntimeError(
+            f"{dropped} MSP intervals overflowed cap_per_dest at n_dev={n_dev};"
+            " raise the cap (lower READS_PER_DEV or increase slack)"
+        )
     iters = 5
     best = float("inf")
     for _ in range(3):

@@ -14,10 +14,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from tpu_debruijn import compress as C
 from tpu_debruijn import filter as F
 from tpu_debruijn.kmer import KmerSpec
-
-import sys
-
-sys.path.insert(0, "/root/repo")
 from bench import make_reads  # noqa: E402
 
 k = 31

@@ -112,8 +112,6 @@ def test_scmap_join_test(rng):
     assert [(kv, e) for kv, e, _ in tab.to_tuples()] == [(kv, e) for kv, e, _ in otab]
     onodes = O.compress_kmers(False, O.ScmapCompress(), otab, k)
     # engine: join only equal labels, keep label
-    class TabView:
-        pass
     gnodes = C.compress_kmers(tab, data_reduce="first", join_on_data=True,
                               data_field="data")
     ow = [(tuple(s), e, d) for s, e, d in onodes]
@@ -257,4 +255,7 @@ def test_high_k_tip_cleaning(rng):
     g = G.from_compress_output(k, False, C.compress_kmers(tab)).finish()
     fixed = CL.clean_tips(g, lambda node: node.len() < k * 2)
     assert fixed.is_compressed() is None
-    assert len(fixed) >= 2  # the two clean contigs survive
+    # exactly the two clean 300bp contigs survive; a no-op clean would
+    # leave the short junk tips (len < 2k) in the graph
+    assert len(fixed) == 2
+    assert all(fixed.get_node(i).len() == 300 for i in range(len(fixed)))

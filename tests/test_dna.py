@@ -147,3 +147,52 @@ def test_kmers_from_bytes_and_ascii(rng):
     ka = KM.kmers_from_ascii(spec, bases_to_str(b))
     assert np.array_equal(ks, ka)
     assert KM.kmers_from_bytes(spec, b[: k - 1]).shape == (0, spec.w)
+
+
+def test_seq_slice_view_basic(rng):
+    """Zero-copy SeqSlice: get/bases/rc match the copying DnaSeq ops
+    (DnaStringSlice, dna_string.rs:541-626)."""
+    from tpu_debruijn.dna import SeqSlice
+
+    b = rng.integers(0, 4, 97).astype(np.uint8)
+    d = DnaSeq.from_bases(b)
+    v = d.slice_view(10, 40)
+    assert len(v) == 30
+    assert np.array_equal(v.bases(), b[10:40])
+    assert all(v.get(i) == int(b[10 + i]) for i in range(30))
+    # rc() flips the flag only; bases are remapped on access
+    r = v.rc()
+    assert r.is_rc and r.parent is d and r.start == 10
+    assert np.array_equal(r.bases(), (3 - b[10:40][::-1]))
+    assert all(r.get(i) == int(3 - b[39 - i]) for i in range(30))
+    # rc is an involution
+    assert np.array_equal(r.rc().bases(), v.bases())
+    assert v.to_owned() == DnaSeq.from_bases(b[10:40])
+
+
+def test_seq_slice_of_rc_slice(rng):
+    """Re-slicing under rc remaps parent coordinates
+    (dna_string.rs:668-695; test dna_string.rs:882-903)."""
+    b = rng.integers(0, 4, 64).astype(np.uint8)
+    d = DnaSeq.from_bases(b)
+    v = d.slice_view(4, 60).rc()          # 56 bases, rc view
+    naive = (3 - b[4:60][::-1]).astype(np.uint8)
+    for s, e in [(0, 56), (3, 50), (10, 11), (20, 20)]:
+        sub = v.slice(s, e)
+        assert np.array_equal(sub.bases(), naive[s:e])
+        # double rc + re-slice still lands on the same bases
+        assert np.array_equal(sub.rc().rc().bases(), naive[s:e])
+    assert np.array_equal(v.prefix(7).bases(), naive[:7])
+    assert np.array_equal(v.suffix(7).bases(), naive[-7:])
+
+
+def test_seq_slice_kmers_match_owned(rng):
+    k = 9
+    b = rng.integers(0, 4, 40).astype(np.uint8)
+    v = DnaSeq.from_bases(b).slice_view(2, 35).rc()
+    owned = v.to_owned()
+    assert np.array_equal(v.first_kmer(k), owned.first_kmer(k))
+    assert np.array_equal(v.last_kmer(k), owned.last_kmer(k))
+    got = [KM.to_int(KmerSpec(k), x) for x in v.iter_kmers(k)]
+    want = [KM.to_int(KmerSpec(k), x) for x in owned.iter_kmers(k)]
+    assert got == want

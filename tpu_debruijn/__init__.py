@@ -35,6 +35,7 @@ from tpu_debruijn.bases import (
     is_valid_base,
 )
 from tpu_debruijn.compress import CompressionSpec, ScmapCompress, SimpleCompress
+from tpu_debruijn.dna import DnaSeq, PackedSeqSet, SeqSlice
 from tpu_debruijn.exts import Dir, Exts
 from tpu_debruijn.kmer import KmerSpec
 

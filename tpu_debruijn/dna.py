@@ -183,6 +183,10 @@ class DnaSeq:
     def slice(self, start: int, end: int) -> "DnaSeq":
         return DnaSeq.from_bases(self.bases()[start:end])
 
+    def slice_view(self, start: int, end: int) -> "SeqSlice":
+        """Zero-copy view (DnaString::slice, dna_string.rs:430-439)."""
+        return SeqSlice(self, start, end - start, False)
+
     def prefix(self, n: int) -> "DnaSeq":
         return self.slice(0, n)
 
@@ -230,6 +234,102 @@ class DnaSeq:
             and self.length == other.length
             and np.array_equal(self.bases(), other.bases())
         )
+
+    def __repr__(self):
+        s = self.to_dna_string()
+        return s if len(s) <= 60 else s[:57] + "..."
+
+
+class SeqSlice:
+    """Zero-copy view ``{parent, start, length, is_rc}`` of a DnaSeq
+    (DnaStringSlice equivalent, dna_string.rs:541-758).
+
+    No bases are copied: ``get`` applies the complement-and-mirror remap
+    when ``is_rc`` (dna_string.rs:577-583); ``rc()`` just flips the flag
+    (dna_string.rs:596-603); re-slicing remaps coordinates under rc
+    (dna_string.rs:668-695).  ``to_owned`` materializes a DnaSeq.
+    """
+
+    __slots__ = ("parent", "start", "length", "is_rc")
+
+    def __init__(self, parent: "DnaSeq", start: int, length: int, is_rc: bool = False):
+        if start < 0 or start + length > len(parent):
+            raise ValueError("slice out of range")
+        self.parent = parent
+        self.start = int(start)
+        self.length = int(length)
+        self.is_rc = bool(is_rc)
+
+    def __len__(self):
+        return self.length
+
+    def is_empty(self) -> bool:
+        return self.length == 0
+
+    def get(self, pos: int) -> int:
+        """dna_string.rs:577-583: mirror + complement under rc."""
+        if self.is_rc:
+            return 3 - self.parent.get(self.start + self.length - 1 - pos)
+        return self.parent.get(self.start + pos)
+
+    def rc(self) -> "SeqSlice":
+        """Flip the orientation flag only (dna_string.rs:596-603)."""
+        return SeqSlice(self.parent, self.start, self.length, not self.is_rc)
+
+    def slice(self, start: int, end: int) -> "SeqSlice":
+        """Re-slice, remapping coordinates under rc (dna_string.rs:668-695)."""
+        if not (0 <= start <= end <= self.length):
+            raise ValueError("slice out of range")
+        ln = end - start
+        if self.is_rc:
+            return SeqSlice(self.parent, self.start + self.length - end, ln, True)
+        return SeqSlice(self.parent, self.start + start, ln, False)
+
+    def prefix(self, n: int) -> "SeqSlice":
+        return self.slice(0, n)
+
+    def suffix(self, n: int) -> "SeqSlice":
+        return self.slice(self.length - n, self.length)
+
+    def bases(self) -> np.ndarray:
+        b = self.parent.bases()[self.start : self.start + self.length]
+        return (3 - b[::-1]).astype(np.uint8) if self.is_rc else b
+
+    def get_kmer(self, k: int, pos: int) -> np.ndarray:
+        """Pull from the parent and rc if needed (dna_string.rs:616-626)."""
+        return KM.from_bases(KmerSpec(k), self.bases()[pos : pos + k])
+
+    def first_kmer(self, k: int) -> np.ndarray:
+        return self.get_kmer(k, 0)
+
+    def last_kmer(self, k: int) -> np.ndarray:
+        return self.get_kmer(k, self.length - k)
+
+    def iter_kmers(self, k: int):
+        b = self.bases()
+        spec = KmerSpec(k)
+        for i in range(self.length - k + 1):
+            yield KM.from_bases(spec, b[i : i + k])
+
+    def to_owned(self) -> "DnaSeq":
+        """Materialize (dna_string.rs:642-666)."""
+        return DnaSeq.from_bases(self.bases())
+
+    to_dna_seq = to_owned
+
+    def to_dna_string(self) -> str:
+        return B.bases_to_str(self.bases())
+
+    def to_ascii(self) -> bytes:
+        return B.bases_to_ascii(self.bases())
+
+    def __eq__(self, other):
+        if isinstance(other, (SeqSlice, DnaSeq)):
+            return self.length == len(other) and np.array_equal(
+                self.bases(),
+                other.bases(),
+            )
+        return NotImplemented
 
     def __repr__(self):
         s = self.to_dna_string()

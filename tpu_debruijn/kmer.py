@@ -371,14 +371,8 @@ def at_count(spec: KmerSpec, a):
         mix = ~((v >> np.uint32(1)) ^ v)
         bits = mix & np.uint32(0x55555555) & spec.limb_mask(i)
         total = total + _popcount(bits)
-    # padding zero bits look like A's in limb 0; they are masked off above
-    # only when pad overlaps the 0x5555 mask — mask explicitly instead:
-    return total - np.uint32(_pad_at_bias(spec))
-
-
-def _pad_at_bias(spec: KmerSpec) -> int:
-    # limb_mask already clears pad bits, so no bias remains
-    return 0
+    # limb_mask clears the pad bits, so zero padding never counts as A's
+    return total
 
 
 def gc_count(spec: KmerSpec, a):
@@ -392,12 +386,14 @@ def gc_count(spec: KmerSpec, a):
     return total
 
 
-def hamming_neighbors(spec: KmerSpec, a) -> jnp.ndarray:
-    """All 3K Hamming-distance-1 neighbors of each kmer.
+def hamming_neighbors(spec: KmerSpec, a):
+    """Candidates for all Hamming-distance-1 neighbors of each kmer.
 
-    neighbors.rs:4-52 equivalent, fully vectorized: returns (..., 3K, W);
-    ordering matches the reference iterator (position-major, base ascending,
-    skipping the original base).
+    neighbors.rs:4-52 equivalent, fully vectorized.  Returns
+    ``(cands (..., 4K, W), mask (..., 4K))``: one candidate per
+    (position, base) in position-major / base-ascending order, with
+    ``mask`` False where the base equals the original (so exactly 3K
+    entries are True per kmer — the reference iterator's output set).
     """
     outs = []
     for pos in range(spec.k):
