@@ -280,3 +280,81 @@ def test_max_path_beam_multi_node(rng):
     assert np.array_equal(seq, genome) or np.array_equal(
         (3 - seq[::-1]).astype(seq.dtype), genome
     )
+
+
+def test_stitch_flat_matches_naive(rng):
+    """stitch_flat == per-node Python stitch on a random chain layout."""
+    k = 7
+    n = 40
+    lens = rng.integers(k, k + 12, n).astype(np.int64)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    flat = rng.integers(0, 4, int(lens.sum())).astype(np.uint8)
+    # random chain structure: unitigs of 1-4 nodes
+    uid, pos = [], []
+    u = 0
+    i = 0
+    while i < n:
+        m = int(rng.integers(1, 5))
+        m = min(m, n - i)
+        uid += [u] * m
+        pos += list(range(m))
+        u += 1
+        i += m
+    uid = np.array(uid, np.int32)
+    pos = np.array(pos, np.int32)
+    flip = rng.random(n) < 0.5
+    node_ids = rng.permutation(n)  # arbitrary order
+    got_flat, got_lens = C.stitch_flat(
+        k, flat, starts, lens, node_ids, uid[node_ids], pos[node_ids],
+        flip[node_ids], u,
+    )
+    # naive
+    want = []
+    for uu in range(u):
+        cur = []
+        for i in np.nonzero(uid == uu)[0][np.argsort(pos[uid == uu])]:
+            seq = flat[starts[i] : starts[i] + lens[i]]
+            if flip[i]:
+                seq = (3 - seq[::-1]).astype(np.uint8)
+            cur.append(seq if not cur else seq[k - 1 :])
+        want.append(np.concatenate(cur))
+    assert np.array_equal(got_lens, np.array([len(w) for w in want]))
+    assert np.array_equal(got_flat, np.concatenate(want))
+
+
+def test_million_node_combine_and_stitch_fast(rng):
+    """VERDICT r1: 1M-unitig combine + stitch must be vectorized (seconds,
+    not the minutes a per-node Python loop takes)."""
+    import time
+
+    k = 16
+    n = 1_000_000
+    lens = np.full(n, k, np.int64)
+    starts = np.arange(n, dtype=np.int64) * k
+    flat = rng.integers(0, 4, n * k).astype(np.uint8)
+    exts = rng.integers(0, 256, n).astype(np.int32)
+    data = np.ones(n, np.int32)
+
+    t0 = time.perf_counter()
+    g1 = G.BaseGraph(k, False)
+    g1.add_flat(flat[: (n // 2) * k], lens[: n // 2], exts[: n // 2], data[: n // 2])
+    g2 = G.BaseGraph(k, False)
+    g2.add_flat(flat[(n // 2) * k :], lens[n // 2 :], exts[n // 2 :], data[n // 2 :])
+    combined = G.BaseGraph.combine([g1, g2])
+    assert len(combined) == n
+    assert np.array_equal(combined.exts, exts)
+    t_combine = time.perf_counter() - t0
+
+    uid = (np.arange(n) // 2).astype(np.int32)
+    pos = (np.arange(n) % 2).astype(np.int32)
+    flip = np.zeros(n, bool)
+    t0 = time.perf_counter()
+    out_flat, out_lens = C.stitch_flat(
+        k, combined.sequences._flat(), combined.sequences.start,
+        combined.sequences.length, np.arange(n), uid, pos, flip, n // 2,
+    )
+    t_stitch = time.perf_counter() - t0
+    assert len(out_lens) == n // 2 and int(out_lens[0]) == k + 1
+    assert t_combine < 5.0, f"combine took {t_combine:.1f}s"
+    assert t_stitch < 5.0, f"stitch took {t_stitch:.1f}s"

@@ -623,6 +623,54 @@ def compress_kmers(
     )
 
 
+def assemble_unitigs_flat(
+    spec: KmerSpec,
+    kmers: np.ndarray,
+    uid: np.ndarray,
+    pos: np.ndarray,
+    flip: np.ndarray,
+    lengths: np.ndarray,
+    first_item: np.ndarray,
+    first_flip: np.ndarray,
+    nutg: int,
+    u_exts: np.ndarray,
+    contrib: np.ndarray,
+    data_np: np.ndarray,
+    *,
+    data_reduce: str = "sum_sat_u16",
+):
+    """Host: chain labels -> flat unitig buffers, no per-unitig loop.
+
+    Works on padded arrays (padding slots carry uid == -1), so sharded
+    callers can pass whole device buffers without trimming.
+
+    Returns ``(seq_flat uint8, out_lengths int64, u_exts int32,
+    data int32)`` — the ``BaseGraph.add_flat`` input format.
+    """
+    live = uid >= 0
+    if callable(data_reduce):
+        data_red = _fold_closure(data_reduce, data_np[live], uid[live], pos[live], nutg)
+    else:
+        data_red = _reduce_np(data_reduce, data_np[live], uid[live], nutg)
+
+    out_lengths = (lengths[:nutg] + spec.k - 1).astype(np.int64)
+    offsets = np.zeros(nutg + 1, np.int64)
+    np.cumsum(out_lengths, out=offsets[1:])
+    seq_flat = np.zeros(offsets[-1], np.uint8)
+    # bases contributed by each kmer at pos >= 1
+    tail = live & (pos > 0)
+    seq_flat[offsets[uid[tail]] + spec.k - 1 + pos[tail]] = contrib[tail]
+    # the first kmer of each unitig contributes all K bases, oriented
+    if nutg:
+        fk = KM.to_bases_batch_np(spec, kmers[first_item[:nutg]])  # (U, K)
+        flip_u = first_flip[:nutg].astype(bool)
+        fk[flip_u] = (3 - fk[flip_u, ::-1]) & 3
+        idx = offsets[:nutg, None] + np.arange(spec.k)[None, :]
+        seq_flat[idx.reshape(-1)] = fk.reshape(-1)
+
+    return seq_flat, out_lengths, np.asarray(u_exts[:nutg], np.int32), data_red
+
+
 def assemble_unitigs(
     spec: KmerSpec,
     kmers: np.ndarray,
@@ -641,30 +689,69 @@ def assemble_unitigs(
 ):
     """Host: chain labels -> ragged unitig list [(bases, exts, data)].
 
-    Works on padded arrays (padding slots carry uid == -1), so sharded
-    callers can pass whole device buffers without trimming.
+    Thin view-building wrapper over :func:`assemble_unitigs_flat`.
     """
-    live = uid >= 0
-    if callable(data_reduce):
-        data_red = _fold_closure(data_reduce, data_np[live], uid[live], pos[live], nutg)
-    else:
-        data_red = _reduce_np(data_reduce, data_np[live], uid[live], nutg)
-
+    seq_flat, out_lengths, u_exts_t, data_red = assemble_unitigs_flat(
+        spec, kmers, uid, pos, flip, lengths, first_item, first_flip,
+        nutg, u_exts, contrib, data_np, data_reduce=data_reduce,
+    )
     offsets = np.zeros(nutg + 1, np.int64)
-    offsets[1:] = np.cumsum(lengths[:nutg] + spec.k - 1)
-    seq_flat = np.zeros(offsets[-1], np.uint8)
-    # bases contributed by each kmer at pos >= 1
-    tail = live & (pos > 0)
-    seq_flat[offsets[uid[tail]] + spec.k - 1 + pos[tail]] = contrib[tail]
-    # the first kmer of each unitig contributes all K bases, oriented
-    if nutg:
-        fk = KM.to_bases_batch_np(spec, kmers[first_item[:nutg]])  # (U, K)
-        flip_u = first_flip[:nutg].astype(bool)
-        fk[flip_u] = (3 - fk[flip_u, ::-1]) & 3
-        idx = offsets[:nutg, None] + np.arange(spec.k)[None, :]
-        seq_flat[idx.reshape(-1)] = fk.reshape(-1)
-
+    np.cumsum(out_lengths, out=offsets[1:])
     return [
-        (seq_flat[offsets[u] : offsets[u + 1]], int(u_exts[u]), int(data_red[u]))
+        (seq_flat[offsets[u] : offsets[u + 1]], int(u_exts_t[u]), int(data_red[u]))
         for u in range(nutg)
     ]
+
+
+def stitch_flat(
+    k: int,
+    src_flat: np.ndarray,
+    src_starts: np.ndarray,
+    src_lens: np.ndarray,
+    node_ids: np.ndarray,
+    uid: np.ndarray,
+    pos: np.ndarray,
+    flip: np.ndarray,
+    nutg: int,
+):
+    """Concatenate oriented node sequences per unitig, dropping K-1 overlaps.
+
+    The vectorized equivalent of build_node's VecDeque assembly at node
+    granularity (compression.rs:291-334 path): every output base position
+    is mapped to its source position in one gather — no per-node loop.
+
+    Args:
+      src_flat/src_starts/src_lens: the node sequence store (flat bases).
+      node_ids: (m,) node indices participating (live nodes).
+      uid/pos/flip: (m,) chain labels aligned with node_ids.
+      nutg: number of output unitigs (uid values are 0..nutg-1).
+
+    Returns (out_flat uint8, out_lengths int64).
+    """
+    if nutg == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    order = np.lexsort((pos, uid))
+    nid = node_ids[order]
+    uid_s = uid[order]
+    pos_s = pos[order]
+    flip_s = flip[order].astype(bool)
+
+    src_start_n = src_starts[nid].astype(np.int64)
+    src_len_n = src_lens[nid].astype(np.int64)
+    skip = np.where(pos_s > 0, k - 1, 0).astype(np.int64)
+    contrib = src_len_n - skip
+
+    # sorted by uid ascending => output layout is simply the running sum
+    cum_excl = np.zeros(len(contrib), np.int64)
+    np.cumsum(contrib[:-1], out=cum_excl[1:])
+    total = int(contrib.sum())
+    out_lengths = np.bincount(uid_s, weights=contrib, minlength=nutg).astype(np.int64)
+
+    rep = np.repeat(np.arange(len(nid)), contrib)  # node per output base
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum_excl, contrib)
+    fwd = src_start_n[rep] + skip[rep] + within
+    rev = src_start_n[rep] + src_len_n[rep] - 1 - skip[rep] - within
+    flip_rep = flip_s[rep]
+    vals = src_flat[np.where(flip_rep, rev, fwd)]
+    out_flat = np.where(flip_rep, 3 - vals, vals).astype(np.uint8)
+    return out_flat, out_lengths

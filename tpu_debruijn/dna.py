@@ -338,13 +338,21 @@ class SeqSlice:
 
 class PackedSeqSet:
     """Many sequences in one packed buffer (PackedDnaStringSet,
-    dna_string.rs:762-822).  The unitig storage of the graph."""
+    dna_string.rs:762-822).  The unitig storage of the graph.
+
+    SoA numpy storage with amortized appends: per-item ``add`` queues
+    chunks; bulk ``add_flat`` appends a whole flat buffer + length array
+    in O(1) Python ops (the million-unitig path — graph.rs:71-141's
+    combine must not loop per node).
+    """
 
     def __init__(self):
         self._bases = np.zeros(0, np.uint8)
-        self.start: List[int] = []
-        self.length: List[int] = []
+        self._lengths = np.zeros(0, np.int64)
+        self._starts = np.zeros(0, np.int64)
         self._chunks: List[np.ndarray] = []
+        self._len_chunks: List[np.ndarray] = []
+        self._n = 0
 
     @staticmethod
     def from_arrays(seqs: Iterable[np.ndarray]) -> "PackedSeqSet":
@@ -353,27 +361,61 @@ class PackedSeqSet:
             s.add(q)
         return s
 
+    @staticmethod
+    def from_flat(flat: np.ndarray, lengths: np.ndarray) -> "PackedSeqSet":
+        """Bulk constructor: concatenated bases + per-sequence lengths."""
+        s = PackedSeqSet()
+        s.add_flat(flat, lengths)
+        return s
+
     def add(self, bases) -> None:
         bases = np.asarray(bases, np.uint8)
-        self.start.append(sum(self.length))
-        self.length.append(len(bases))
         self._chunks.append(bases)
+        self._len_chunks.append(np.array([len(bases)], np.int64))
+        self._n += 1
 
-    def _flat(self) -> np.ndarray:
+    def add_flat(self, flat: np.ndarray, lengths: np.ndarray) -> None:
+        """Append many sequences at once (flat buffer + lengths)."""
+        lengths = np.asarray(lengths, np.int64)
+        flat = np.asarray(flat, np.uint8)
+        if int(lengths.sum()) != len(flat):
+            raise ValueError("lengths do not sum to flat buffer size")
+        self._chunks.append(flat)
+        self._len_chunks.append(lengths)
+        self._n += len(lengths)
+
+    def _consolidate(self) -> None:
         if self._chunks:
             self._bases = np.concatenate([self._bases] + self._chunks)
+            self._lengths = np.concatenate([self._lengths] + self._len_chunks)
             self._chunks = []
+            self._len_chunks = []
+            self._starts = np.zeros(len(self._lengths), np.int64)
+            np.cumsum(self._lengths[:-1], out=self._starts[1:])
+
+    def _flat(self) -> np.ndarray:
+        self._consolidate()
         return self._bases
 
+    @property
+    def length(self) -> np.ndarray:
+        self._consolidate()
+        return self._lengths
+
+    @property
+    def start(self) -> np.ndarray:
+        self._consolidate()
+        return self._starts
+
     def __len__(self):
-        return len(self.start)
+        return self._n
 
     def is_empty(self) -> bool:
-        return not self.start
+        return self._n == 0
 
     def get_bases(self, i: int) -> np.ndarray:
         flat = self._flat()
-        return flat[self.start[i] : self.start[i] + self.length[i]]
+        return flat[self._starts[i] : self._starts[i] + self._lengths[i]]
 
     def get(self, i: int) -> DnaSeq:
         return DnaSeq.from_bases(self.get_bases(i))
@@ -383,4 +425,5 @@ class PackedSeqSet:
         return pack_bases(self._flat())
 
     def total_bases(self) -> int:
-        return int(sum(self.length))
+        self._consolidate()
+        return int(self._lengths.sum())

@@ -372,10 +372,13 @@ def filter_kmers_set(
     np_ = int(n_pairs)
     pk = np.asarray(pair_kmer)[:np_]
     plb = np.asarray(pair_label)[:np_]
-    sets: List[tuple] = [() for _ in range(n)]
+    # pk is sorted by table slot; searchsorted splits give each slot's
+    # (already sorted, deduped) label run without a per-kmer scan
     split = np.searchsorted(pk, np.arange(n + 1))
-    for i in range(n):
-        sets[i] = tuple(int(x) for x in plb[split[i] : split[i + 1]])
+    plist = plb.tolist()
+    sets: List[tuple] = [
+        tuple(plist[split[i] : split[i + 1]]) for i in range(n)
+    ]
     table = KmerTable(
         spec=spec,
         stranded=stranded,

@@ -47,8 +47,37 @@ class BaseGraph:
         self.spec = KmerSpec(k)
         self.stranded = stranded
         self.sequences = PackedSeqSet()
-        self.exts: List[int] = []
-        self.data: List[int] = []
+        self._exts = np.zeros(0, np.int32)
+        self._data = np.zeros(0, np.int32)
+        self._exts_chunks: List[np.ndarray] = []
+        self._data_chunks: List[np.ndarray] = []
+
+    def _consolidate(self) -> None:
+        if self._exts_chunks:
+            self._exts = np.concatenate([self._exts] + self._exts_chunks)
+            self._data = np.concatenate([self._data] + self._data_chunks)
+            self._exts_chunks = []
+            self._data_chunks = []
+
+    @property
+    def exts(self) -> np.ndarray:
+        self._consolidate()
+        return self._exts
+
+    @exts.setter
+    def exts(self, value) -> None:
+        self._consolidate()
+        self._exts = np.asarray(value, np.int32)
+
+    @property
+    def data(self) -> np.ndarray:
+        self._consolidate()
+        return self._data
+
+    @data.setter
+    def data(self, value) -> None:
+        self._consolidate()
+        self._data = np.asarray(value, np.int32)
 
     def __len__(self):
         return len(self.sequences)
@@ -58,13 +87,28 @@ class BaseGraph:
 
     def add(self, bases, exts: int, data: int = 0) -> None:
         self.sequences.add(np.asarray(bases, np.uint8))
-        self.exts.append(int(exts))
-        self.data.append(int(data))
+        self._exts_chunks.append(np.array([exts], np.int32))
+        self._data_chunks.append(np.array([data], np.int32))
+
+    def add_flat(self, seq_flat, lengths, exts, data=None) -> None:
+        """Bulk-append many unitigs: concatenated bases + per-node arrays.
+
+        The O(1)-Python path used by combine and the flat assemblers; per
+        graph.rs:104 semantics but without a per-node loop.
+        """
+        lengths = np.asarray(lengths, np.int64)
+        self.sequences.add_flat(seq_flat, lengths)
+        self._exts_chunks.append(np.asarray(exts, np.int32))
+        self._data_chunks.append(
+            np.zeros(len(lengths), np.int32)
+            if data is None
+            else np.asarray(data, np.int32)
+        )
 
     @staticmethod
     def combine(graphs: Sequence["BaseGraph"]) -> "BaseGraph":
         """Concatenate shard graphs (graph.rs:71-101); mixed strandedness
-        is an error."""
+        is an error.  Pure array concatenation — no per-node loop."""
         graphs = list(graphs)
         if not graphs:
             raise ValueError("no graphs to combine")
@@ -73,8 +117,7 @@ class BaseGraph:
             raise ValueError("attempted to combine stranded and unstranded graphs")
         out = BaseGraph(graphs[0].spec.k, graphs[0].stranded)
         for g in graphs:
-            for i in range(len(g)):
-                out.add(g.sequences.get_bases(i), g.exts[i], g.data[i])
+            out.add_flat(g.sequences._flat(), g.sequences.length, g.exts, g.data)
         return out
 
     def finish(self) -> "DebruijnGraph":
@@ -87,6 +130,13 @@ def from_compress_output(k: int, stranded: bool, nodes) -> BaseGraph:
     g = BaseGraph(k, stranded)
     for seq, exts, data in nodes:
         g.add(seq, exts, data)
+    return g
+
+
+def from_flat_output(k: int, stranded: bool, seq_flat, lengths, exts, data=None) -> BaseGraph:
+    """Wrap compress.assemble_unitigs_flat output — the bulk path."""
+    g = BaseGraph(k, stranded)
+    g.add_flat(seq_flat, lengths, exts, data)
     return g
 
 
@@ -303,7 +353,7 @@ class DebruijnGraph:
             for b in range(4):
                 new |= keep[:, d, b].astype(np.int32) << (b + 4 * d)
         self.exts = new
-        self.base.exts = [int(x) for x in new]
+        self.base.exts = new
         self._edges = None  # edge existence depends on exts
 
     # -- checks ----------------------------------------------------------
@@ -533,15 +583,12 @@ class DebruijnGraph:
 
     # -- checkpoint (serde equivalent, SURVEY.md section 5) ---------------
     def save(self, path) -> None:
-        flat = np.concatenate(
-            [self.base.sequences.get_bases(i) for i in range(len(self))]
-        ) if len(self) else np.zeros(0, np.uint8)
         np.savez_compressed(
             path,
             k=self.spec.k,
             stranded=self.stranded,
             lengths=np.asarray(self.base.sequences.length, np.int64),
-            bases=flat,
+            bases=self.base.sequences._flat(),
             exts=np.asarray(self.exts, np.int32),
             data=np.asarray(self.data, np.int32),
         )
@@ -550,10 +597,7 @@ class DebruijnGraph:
     def load(path) -> "DebruijnGraph":
         z = np.load(path)
         g = BaseGraph(int(z["k"]), bool(z["stranded"]))
-        off = 0
-        for i, ln in enumerate(z["lengths"]):
-            g.add(z["bases"][off : off + ln], int(z["exts"][i]), int(z["data"][i]))
-            off += int(ln)
+        g.add_flat(z["bases"], z["lengths"], z["exts"], z["data"])
         return g.finish()
 
 
@@ -712,27 +756,15 @@ def compress_graph(
     else:
         data_red = C._reduce_np(data_reduce, graph.data[live], uid[live], nutg)
 
-    # stitch sequences host-side in (uid, pos) order
-    order = np.lexsort((pos[live], uid[live]))
-    lids = np.nonzero(live)[0][order]
+    # stitch sequences: one vectorized ragged gather, no per-node loop
+    lids = np.nonzero(live)[0]
+    seqs = graph.base.sequences
+    seq_flat, out_lengths = C.stitch_flat(
+        k, seqs._flat(), seqs.start, seqs.length,
+        lids, uid[live], pos[live], flip[live], nutg,
+    )
     out = BaseGraph(k, graph.stranded)
-    cur = []
-    cur_uid = -1
-    rows = []
-    for i in lids:
-        if uid[i] != cur_uid:
-            if cur_uid >= 0:
-                rows.append(np.concatenate(cur))
-            cur_uid = uid[i]
-            cur = []
-        seq = graph.base.sequences.get_bases(i)
-        if flip[i]:
-            seq = (3 - seq[::-1]).astype(np.uint8)
-        cur.append(seq if not cur else seq[k - 1 :])
-    if cur_uid >= 0:
-        rows.append(np.concatenate(cur))
-    for u, seq in enumerate(rows):
-        out.add(seq, int(u_exts[u]), int(data_red[u]))
+    out.add_flat(seq_flat, out_lengths, u_exts[:nutg], data_red)
     dbg = out.finish()
     dbg.fix_exts(None)
     return dbg

@@ -229,7 +229,7 @@ def assemble_sharded(
     equals the unsharded pipeline on the same reads (the reference's
     N-shard == 1-shard oracle).
     """
-    from tpu_debruijn.graph import BaseGraph, compress_graph, from_compress_output
+    from tpu_debruijn.graph import BaseGraph, compress_graph
 
     plan, table, chains, u_exts, contrib = sharded_tables(
         reads,
@@ -243,27 +243,25 @@ def assemble_sharded(
     )
     spec = plan.spec
     kmers = np.asarray(table.kmers)
-    exts = np.asarray(table.exts)
     counts = np.asarray(table.counts)
-    n_valid = np.asarray(table.n_valid)
 
-    graphs = []
+    combined = BaseGraph(plan.k, stranded)
     for s in range(plan.n_shards):
-        nodes = C.assemble_unitigs(
-            spec,
-            kmers[s],
-            np.asarray(chains.uid[s]),
-            np.asarray(chains.pos[s]),
-            np.asarray(chains.flip[s]),
-            np.asarray(chains.length[s]),
-            np.asarray(chains.first_item[s]),
-            np.asarray(chains.first_flip[s]),
-            int(chains.n_unitigs[s]),
-            np.asarray(u_exts[s]),
-            np.asarray(contrib[s]),
-            counts[s],
-            data_reduce=data_reduce_compress,
+        combined.add_flat(
+            *C.assemble_unitigs_flat(
+                spec,
+                kmers[s],
+                np.asarray(chains.uid[s]),
+                np.asarray(chains.pos[s]),
+                np.asarray(chains.flip[s]),
+                np.asarray(chains.length[s]),
+                np.asarray(chains.first_item[s]),
+                np.asarray(chains.first_flip[s]),
+                int(chains.n_unitigs[s]),
+                np.asarray(u_exts[s]),
+                np.asarray(contrib[s]),
+                counts[s],
+                data_reduce=data_reduce_compress,
+            )
         )
-        graphs.append(from_compress_output(plan.k, stranded, nodes))
-    combined = BaseGraph.combine(graphs).finish()
-    return compress_graph(combined, data_reduce=data_reduce_compress)
+    return compress_graph(combined.finish(), data_reduce=data_reduce_compress)
