@@ -134,3 +134,31 @@ def test_graft_entry_points():
     jax.block_until_ready(out)
     assert int(out[3]) > 0
     G.dryrun_multichip(8)
+
+
+def test_auto_cap_skewed_minimizers(rng):
+    """Count-then-allocate buffer sizing (SURVEY hard part 4): low-entropy
+    reads concentrate all MSP intervals on a couple of destinations.  The
+    legacy slack heuristic overflows there; the default histogram pass
+    sizes the buffers exactly and the result still equals unsharded."""
+    from tpu_debruijn.parallel.shard import sharded_tables
+
+    k, p = 16, 15
+    mesh = make_mesh(8)
+    base = np.tile([0, 3], 40).astype(np.uint8)  # ATAT... (2 minimizers)
+    reads = []
+    for _ in range(32):
+        r = base.copy()
+        r[int(rng.integers(0, len(r)))] = int(rng.integers(0, 4))
+        reads.append(r)
+
+    # the fraction heuristic undersizes on this skew
+    with pytest.raises(RuntimeError, match="overflowed"):
+        sharded_tables(reads, k, p, mesh=mesh, slack=0.05)
+
+    # the default count-then-allocate path sizes exactly
+    g_sh = assemble_sharded(reads, k, p, stranded=False, min_obs=1, mesh=mesh)
+    table = F.filter_kmers([(r, 0, 0) for r in reads], k, stranded=False, min_obs=1)
+    nodes = C.compress_kmers(table)
+    g_pl = from_compress_output(k, False, nodes).finish()
+    assert _canon_node_set(g_sh) == _canon_node_set(g_pl)

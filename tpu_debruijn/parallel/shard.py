@@ -134,6 +134,33 @@ def sharded_count_step(plan: ShardPlan, data_reduce: str = "label_first"):
     return step
 
 
+def _dest_histogram_fn(k: int, p: int, n_shards: int, stranded: bool, mesh):
+    """Cheap first pass for count-then-allocate buffer sizing (SURVEY §7
+    hard part 4): per-device histogram of MSP intervals by destination.
+
+    Returns fn(bases, lengths) -> (n_shards, n_shards) counts where
+    row s, col d = intervals source device s will send to destination d.
+    """
+
+    def step(bases, lengths):
+        iv = M.msp_intervals_device(k, p, bases, lengths, None, rc=not stranded)
+        cap = iv["bucket"].shape[0]
+        valid = jnp.arange(cap, dtype=jnp.int32) < iv["n_intervals"]
+        dest = jnp.where(valid, iv["bucket"] % n_shards, n_shards)
+        hist = jnp.zeros(n_shards + 1, jnp.int32).at[dest].add(1)
+        return hist[None, :n_shards]
+
+    return jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(SHARDS), P(SHARDS)),
+            out_specs=P(SHARDS),
+            check_vma=False,
+        )
+    )
+
+
 def _shard_map_fn(plan: ShardPlan, mesh, data_reduce: str = "label_first"):
     step = sharded_count_step(plan, data_reduce)
     return jax.jit(
@@ -168,14 +195,21 @@ def sharded_tables(
     min_obs: int = 1,
     mesh=None,
     labels: Optional[np.ndarray] = None,
-    slack: float = 2.0,
+    slack: Optional[float] = None,
+    cap_per_dest: Optional[int] = None,
     data_reduce: str = "label_first",
 ):
     """Run the device-sharded scan/exchange/count/compress step.
 
+    Buffer sizing is count-then-allocate by default (SURVEY §7 hard part
+    4): a cheap histogram pass counts intervals per (source, destination)
+    pair and the exchange buffers are sized to the max, so skewed
+    minimizer distributions never overflow.  Pass ``slack`` (the legacy
+    worst-case fraction heuristic) or an explicit ``cap_per_dest`` to skip
+    the extra pass.
+
     Returns (plan, stacked KmerTableDev, chains, u_exts, contrib) with a
-    leading n_shards axis on every array, plus total overflow (raises if
-    any destination overflowed — re-run with higher ``slack``).
+    leading n_shards axis on every array.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -190,7 +224,16 @@ def sharded_tables(
 
     r_loc = bases.shape[0] // n_shards
     cap = r_loc * (bases.shape[1] - k + 1)
-    cap_per_dest = min(cap, max(16, int(np.ceil(cap * slack / n_shards))))
+    if cap_per_dest is None:
+        if slack is not None:
+            cap_per_dest = min(cap, max(16, int(np.ceil(cap * slack / n_shards))))
+        else:
+            hist_fn = _dest_histogram_fn(k, p, n_shards, stranded, mesh)
+            hist = np.asarray(hist_fn(jnp.asarray(bases), jnp.asarray(lengths)))
+            need = int(hist.max())
+            # round up to a multiple of 128 so repeated runs with similar
+            # skew reuse the compiled program (static shapes)
+            cap_per_dest = min(cap, max(128, -(-need // 128) * 128))
     plan = ShardPlan(k, p, stranded, min_obs, n_shards, cap_per_dest)
 
     log.debug(
@@ -205,7 +248,7 @@ def sharded_tables(
     if total_overflow:
         raise RuntimeError(
             f"{total_overflow} MSP intervals overflowed their destination "
-            f"buffers; re-run with a larger slack (> {slack})"
+            f"buffers; re-run with a larger slack or explicit cap_per_dest"
         )
     return plan, table, chains, u_exts, contrib
 
@@ -219,7 +262,8 @@ def assemble_sharded(
     min_obs: int = 1,
     mesh=None,
     labels: Optional[np.ndarray] = None,
-    slack: float = 2.0,
+    slack: Optional[float] = None,
+    cap_per_dest: Optional[int] = None,
     data_reduce_compress: str = "sum_sat_u16",
 ):
     """Full sharded assembly == test.rs:418-504 in one call.
@@ -240,6 +284,7 @@ def assemble_sharded(
         mesh=mesh,
         labels=labels,
         slack=slack,
+        cap_per_dest=cap_per_dest,
     )
     spec = plan.spec
     kmers = np.asarray(table.kmers)
