@@ -132,8 +132,8 @@ def test_custom_summarizer(rng):
     data = max label (impossible with the built-in fast paths)."""
 
     class TwoColor(F.KmerSummarizer):
-        def summarize(self, exts, labels):
-            u = set(int(x) for x in labels)
+        def summarize(self, kmer, exts, payloads):
+            u = set(int(x) for x in payloads)
             return len(u) >= 2, int(np.bitwise_or.reduce(exts)), max(u)
 
     k = 16
@@ -148,3 +148,44 @@ def test_custom_summarizer(rng):
     ]
     got = [(tuple(table.kmers[i]), data[i]) for i in range(len(table))]
     assert got == want
+
+
+def test_summarizer_receives_kmer_and_arbitrary_payloads(rng):
+    """Trait fidelity (filter.rs:27-38): summarize gets the canonical kmer
+    limbs and the raw per-observation payloads — here strings, a D that no
+    int-label fast path can carry."""
+    from tpu_debruijn import kmer as KM
+
+    k = 16
+    contigs = O.simple_random_contigs(rng)
+    pool = [np.asarray(c, np.uint8) for c in contigs if len(c) >= 40]
+    barcodes = ["ACGT-1", "TTAG-2", "GGCA-7"]
+    reads = []
+    for i in range(18):
+        c = pool[int(rng.integers(0, len(pool)))]
+        s = int(rng.integers(0, len(c) - 40 + 1))
+        reads.append((c[s : s + 40].copy(), 0, barcodes[i % 3]))
+
+    seen = {}
+
+    class BarcodeSet(F.KmerSummarizer):
+        def summarize(self, kmer, exts, payloads):
+            assert kmer.shape == (KmerSpec_w,) and kmer.dtype == np.uint32
+            assert all(isinstance(p, str) for p in payloads)
+            key = tuple(int(x) for x in kmer)
+            seen[key] = tuple(sorted(set(payloads)))
+            return True, int(np.bitwise_or.reduce(exts)), len(set(payloads))
+
+    from tpu_debruijn.kmer import KmerSpec
+
+    KmerSpec_w = KmerSpec(k).w
+    table, data = F.filter_kmers_with_summarizer(reads, k, BarcodeSet())
+    assert len(table) == len(seen) > 0
+    # cross-check against the int-label set fast path (indices -> barcodes)
+    int_reads = [(r, e, barcodes.index(b)) for r, e, b in reads]
+    fast, sets = F.filter_kmers_set(int_reads, k, stranded=False, min_obs=1)
+    assert np.array_equal(fast.kmers, table.kmers)
+    for i in range(len(fast)):
+        key = tuple(int(x) for x in fast.kmers[i])
+        assert seen[key] == tuple(sorted(barcodes[j] for j in sets[i]))
+        assert data[i] == len(sets[i])

@@ -442,13 +442,15 @@ def _sorted_obs_jit(spec, stranded, bases, lengths, seq_exts, labels):
 
 class KmerSummarizer:
     """The pluggable per-kmer reduction (KmerSummarizer trait,
-    filter.rs:27-38).  ``summarize(exts, labels)`` receives every
-    observation of one kmer — ``exts`` (m,) int extension bytes and
-    ``labels`` (m,) int payloads — and returns
+    filter.rs:27-38).  ``summarize(kmer, exts, payloads)`` receives every
+    observation of one kmer — the canonical ``kmer`` limbs (W,) uint32,
+    ``exts`` (m,) int extension bytes, and ``payloads``, the list of m
+    per-observation data objects (arbitrary ``D``, exactly the reference
+    trait's ``Iterator<Item = (K, Exts, D)>`` power) — and returns
     ``(is_valid, folded_exts, summary_data)``.
     """
 
-    def summarize(self, exts: np.ndarray, labels: np.ndarray):
+    def summarize(self, kmer: np.ndarray, exts: np.ndarray, payloads: list):
         raise NotImplementedError
 
 
@@ -458,36 +460,36 @@ class CountFilter(KmerSummarizer):
     def __init__(self, min_obs: int):
         self.min_obs = min_obs
 
-    def summarize(self, exts, labels):
+    def summarize(self, kmer, exts, payloads):
         count = min(len(exts), 65535)
         return count >= self.min_obs, int(np.bitwise_or.reduce(exts)), count
 
 
 class CountFilterSet(KmerSummarizer):
-    """data = sorted deduplicated label tuple (filter.rs:68-101)."""
+    """data = sorted deduplicated payload tuple (filter.rs:68-101)."""
 
     def __init__(self, min_obs: int):
         self.min_obs = min_obs
 
-    def summarize(self, exts, labels):
+    def summarize(self, kmer, exts, payloads):
         return (
             len(exts) >= self.min_obs,
             int(np.bitwise_or.reduce(exts)),
-            tuple(sorted(set(int(x) for x in labels))),
+            tuple(sorted(set(payloads))),
         )
 
 
 class CountFilterEqClass(KmerSummarizer):
-    """data = equivalence-class id over label sets (the Cell Ranger
+    """data = equivalence-class id over payload sets (the Cell Ranger
     pattern built on the reference's trait); ``self.eq_classes`` maps
-    id -> label tuple."""
+    payload tuple -> id."""
 
     def __init__(self, min_obs: int):
         self.min_obs = min_obs
         self.eq_classes: dict = {}
 
-    def summarize(self, exts, labels):
-        key = tuple(sorted(set(int(x) for x in labels)))
+    def summarize(self, kmer, exts, payloads):
+        key = tuple(sorted(set(payloads)))
         eq_id = self.eq_classes.setdefault(key, len(self.eq_classes))
         return len(exts) >= self.min_obs, int(np.bitwise_or.reduce(exts)), eq_id
 
@@ -503,11 +505,15 @@ def filter_kmers_with_summarizer(
     """Fully pluggable filter_kmers (filter.rs:139): arbitrary Python
     summarizers, exactly the reference trait's power.
 
+    ``seqs`` items are ``(bases, seq_exts, payload)`` where ``payload``
+    may be ANY object (the reference's arbitrary ``D``, filter.rs:27-38)
+    — it is carried per observation and handed back to the summarizer.
+
     The device does the heavy lifting (extraction, canonicalization, the
     sort that groups equal kmers); the host walks groups and calls
-    ``summarizer.summarize``.  The fast paths (:func:`filter_kmers`,
-    :func:`filter_kmers_set`) cover the built-in summarizers entirely
-    on-device — use this for custom policies.
+    ``summarizer.summarize(kmer, exts, payloads)``.  The fast paths
+    (:func:`filter_kmers`, :func:`filter_kmers_set`) cover the built-in
+    summarizers entirely on-device — use this for custom policies.
 
     Returns (KmerTable, data_list) where data_list holds each valid kmer's
     summary object (table.data gets the int cast when possible).
@@ -523,7 +529,9 @@ def filter_kmers_with_summarizer(
         return empty, []
     bases, lengths = pad_reads([s[0] for s in items], min_len=k, pad_to=16)
     seq_exts = np.array([s[1] for s in items], dtype=np.int32)
-    labels = np.array([s[2] for s in items], dtype=np.int32)
+    payloads = [s[2] for s in items]
+    # the device carries the item INDEX; payload objects stay host-side
+    labels = np.arange(len(items), dtype=np.int32)
     d_kmers, d_exts, d_labs, n_obs = _sorted_obs_jit(
         spec, stranded, bases, lengths, seq_exts, labels
     )
@@ -541,7 +549,9 @@ def filter_kmers_with_summarizer(
     out_k, out_e, out_d, out_c = [], [], [], []
     all_rows = []
     for s, e in zip(starts, ends):
-        ok, fexts, data = summarizer.summarize(exts[s:e], labs[s:e])
+        ok, fexts, data = summarizer.summarize(
+            kmers[s], exts[s:e], [payloads[j] for j in labs[s:e]]
+        )
         if report_all:
             all_rows.append(kmers[s])
         if ok:
