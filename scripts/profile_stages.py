@@ -1,0 +1,215 @@
+"""Per-stage pipeline timing + speed-of-light accounting on the real chip.
+
+VERDICT r1 item 1: "nothing computes or reports what speed-of-light is".
+This script measures, on whatever backend is live:
+
+  * achieved HBM copy bandwidth (the roofline ceiling),
+  * per-stage wall time of the counting pipeline (extract / canonicalize /
+    sort / segmented-reduce / partition) by timing nested jit prefixes,
+  * the XLA canonicalize ladder vs the fused Pallas kernel
+    (kernels/canonical.py),
+  * a bytes-moved model per stage -> sol_fraction per stage.
+
+Writes artifacts/profile_stages.json and (with --trace) a
+jax.profiler trace under artifacts/trace/.
+
+Run: python scripts/profile_stages.py [--reads 8192] [--k 31] [--trace]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=20, warm=2):
+    import jax
+
+    for _ in range(warm):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=8192)
+    ap.add_argument("--read-len", type=int, default=160)
+    ap.add_argument("--k", type=int, default=31)
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="skip the Pallas kernel comparison (its first "
+                         "Mosaic compile can take minutes on remote backends)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from tpu_debruijn import compress as C
+    from tpu_debruijn import exts as E
+    from tpu_debruijn import filter as F
+    from tpu_debruijn import kmer as KM
+    from tpu_debruijn import sorting as S
+    from tpu_debruijn.kmer import KmerSpec
+
+    dev = jax.devices()[0]
+    result = {"device": str(dev), "backend": jax.default_backend()}
+
+    # ---- roofline ceiling: achieved HBM copy bandwidth ------------------
+    nbytes = 256 * 1024 * 1024
+    big = jnp.zeros(nbytes // 4, jnp.uint32)
+    t = timeit(jax.jit(lambda x: x + np.uint32(1)), big, iters=10)
+    copy_bw = 2 * nbytes / t  # read + write
+    result["hbm_copy_GBps"] = round(copy_bw / 1e9, 1)
+
+    # ---- pipeline stages -------------------------------------------------
+    spec = KmerSpec(args.k)
+    r, L, k, w = args.reads, args.read_len, args.k, spec.w
+    lk = L - k + 1
+    n = r * lk
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, 100_000).astype(np.uint8)
+    starts = rng.integers(0, 100_000 - L, r)
+    bases = genome[starts[:, None] + np.arange(L)[None, :]]
+    lengths = np.full(r, L, np.int32)
+    seq_exts = np.zeros(r, np.int32)
+    labels = np.zeros(r, np.int32)
+    db, dl, de, dlab = map(jnp.asarray, (bases, lengths, seq_exts, labels))
+
+    @jax.jit
+    def stage_extract(b, l, e):
+        return F.extract_kmers(spec, b, l, e)
+
+    @jax.jit
+    def stage_canon_xla(km, ex):
+        ck, flip = KM.min_rc_flip(spec, km)
+        return ck, jnp.where(flip, E.rc(ex), ex), flip
+
+    def stage_canon_pallas(km, ex):
+        from tpu_debruijn.kernels import canonicalize_fused
+        return canonicalize_fused(spec, km, ex)
+
+    @jax.jit
+    def stage_sort(kf, ef, lab, vf):
+        inv = (~vf).astype(jnp.uint32)
+        keys = [inv] + S.limbs_to_keys(kf)
+        (skeys, (sexts, slab)) = S.sort_with_payload(keys, [ef, lab])
+        return skeys, sexts, slab
+
+    @jax.jit
+    def full_count(b, l, e, lab):
+        return F.count_kmers(spec, b, l, e, lab, stranded=False, min_obs=1)
+
+    @jax.jit
+    def full_compress(kmers, exts, n_valid):
+        return C.compress_kmer_table_device(spec, False, kmers, exts, n_valid)
+
+    km, ex, valid = stage_extract(db, dl, de)
+    jax.block_until_ready(km)
+    kf = km.reshape(n, w)
+    ef = ex.reshape(n)
+    vf = valid.reshape(n)
+    lab = jnp.broadcast_to(dlab[:, None], valid.shape).reshape(n)
+
+    ck, cex, _ = stage_canon_xla(kf, ef)
+
+    t_extract = timeit(stage_extract, db, dl, de)
+    t_canon_xla = timeit(stage_canon_xla, kf, ef)
+    t_canon_pal = None
+    if not args.no_pallas:
+        try:
+            t_canon_pal = timeit(stage_canon_pallas, kf, ef)
+        except Exception as exn:  # pallas may be unavailable on some backends
+            result["pallas_error"] = repr(exn)
+    t_sort = timeit(stage_sort, ck, cex, lab, vf)
+    t_count = timeit(full_count, db, dl, de, dlab)
+    tbl = full_count(db, dl, de, dlab)
+    jax.block_until_ready(tbl.kmers)
+    t_compress = timeit(full_compress, tbl.kmers, tbl.exts, tbl.n_valid)
+
+    def step(b, l, e, lab):
+        t = full_count(b, l, e, lab)
+        return full_compress(t.kmers, t.exts, t.n_valid)
+
+    t_e2e = timeit(step, db, dl, de, dlab)
+
+    # ---- bytes-moved model ----------------------------------------------
+    # extract: read R*L bases (int32 on device) + write n*(W+1+eps) words
+    b_extract = r * L * 4 + n * (w + 1) * 4
+    # canonicalize: read n*(W+1), write n*(W+2) words, one fused pass
+    b_canon = n * (2 * w + 3) * 4
+    # sort: XLA variadic sort; model = passes * n * row_bytes, passes unknown
+    # -> report achieved bandwidth instead (model the MINIMAL one-pass cost)
+    row_bytes = (w + 3) * 4
+    b_sort_min = 2 * n * row_bytes
+    # one-pass speed of light for the WHOLE count: read bases once, write
+    # the unique table once (the absolute floor for any implementation)
+    b_sol_count = r * L + n * 0 + int(np.asarray(tbl.all_n)) * (w + 2) * 4
+
+    stages = {
+        "extract": (t_extract, b_extract),
+        "canonicalize_xla": (t_canon_xla, b_canon),
+        "sort": (t_sort, b_sort_min),
+        "count_total": (t_count, None),
+        "compress": (t_compress, None),
+        "end_to_end": (t_e2e, None),
+    }
+    if t_canon_pal is not None:
+        stages["canonicalize_pallas"] = (t_canon_pal, b_canon)
+
+    result["n_kmers"] = n
+    result["k"] = k
+    out_stages = {}
+    for name, (t, b) in stages.items():
+        row = {
+            "time_us": round(t * 1e6, 1),
+            "gkmers_per_s": round(n / t / 1e9, 2),
+        }
+        if b is not None:
+            row["model_bytes"] = b
+            row["achieved_GBps"] = round(b / t / 1e9, 1)
+            row["sol_fraction"] = round((b / copy_bw) / t, 3)
+        out_stages[name] = row
+    result["stages"] = out_stages
+    result["sol_floor_count_us"] = round(b_sol_count / copy_bw * 1e6, 1)
+    result["count_vs_one_pass_sol"] = round(
+        (b_sol_count / copy_bw) / t_count, 4
+    )
+
+    if args.trace:
+        tdir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "artifacts", "trace")
+        os.makedirs(tdir, exist_ok=True)
+        with jax.profiler.trace(tdir):
+            for _ in range(5):
+                out = step(db, dl, de, dlab)
+            jax.block_until_ready(out)
+        result["trace_dir"] = tdir
+
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts"), exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "profile_stages.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

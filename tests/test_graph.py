@@ -356,5 +356,7 @@ def test_million_node_combine_and_stitch_fast(rng):
     )
     t_stitch = time.perf_counter() - t0
     assert len(out_lens) == n // 2 and int(out_lens[0]) == k + 1
-    assert t_combine < 5.0, f"combine took {t_combine:.1f}s"
-    assert t_stitch < 5.0, f"stitch took {t_stitch:.1f}s"
+    # generous bound: a per-node Python loop takes minutes; the vectorized
+    # path takes ~1s alone but can see 5-10x slowdown under full-suite load
+    assert t_combine < 30.0, f"combine took {t_combine:.1f}s"
+    assert t_stitch < 30.0, f"stitch took {t_stitch:.1f}s"

@@ -179,26 +179,57 @@ def _link_and_edges(spec, stranded, lk_sorted, lk_ids, rk_sorted, rk_ids,
     )
 
 
-def _find_link_device(spec, stranded, d, kmers, lk_sorted, lk_ids, rk_sorted, rk_ids):
+def _find_link_device(spec, stranded, d, kmers, lk_sorted, lk_ids, rk_sorted,
+                      rk_ids, n_valid=None):
     """Batched find_link (graph.rs:252-291): same-strand probe first,
-    then the rc probe in unstranded graphs."""
+    then the rc probe in unstranded graphs.
+
+    ``n_valid`` bounds the logical length of the sorted index arrays
+    (entries beyond are padding) — used by the collective shard stitch,
+    which works on padded allgathered tables.
+    """
     if d == LEFT:
         prim_sorted, prim_ids, prim_side = rk_sorted, rk_ids, RIGHT
         sec_sorted, sec_ids, sec_side = lk_sorted, lk_ids, LEFT
     else:
         prim_sorted, prim_ids, prim_side = lk_sorted, lk_ids, LEFT
         sec_sorted, sec_ids, sec_side = rk_sorted, rk_ids, RIGHT
-    i1, f1 = S.searchsorted_limbs(prim_sorted, kmers)
+    i1, f1 = S.searchsorted_limbs(prim_sorted, kmers, n_valid)
     t1 = prim_ids[jnp.clip(i1, 0, prim_ids.shape[0] - 1)]
     if stranded:
         return t1, jnp.full_like(t1, prim_side), jnp.zeros_like(f1), f1
     rck = KM.rc(spec, kmers)
-    i2, f2 = S.searchsorted_limbs(sec_sorted, rck)
+    i2, f2 = S.searchsorted_limbs(sec_sorted, rck, n_valid)
     t2 = sec_ids[jnp.clip(i2, 0, sec_ids.shape[0] - 1)]
     target = jnp.where(f1, t1, t2)
     side = jnp.where(f1, prim_side, sec_side)
     flip = (~f1) & f2
     return target, side, flip, f1 | f2
+
+
+def _fix_exts_device(spec, stranded, lk_sorted, lk_ids, rk_sorted, rk_ids,
+                     first_k, last_k, exts, valid, n_valid=None):
+    """Device fix_exts (graph.rs:337-377): keep only extensions whose
+    target kmer is the end kmer of a valid node.  Works on padded node
+    tables (``valid`` masks live slots; ``n_valid`` bounds the indexes)."""
+    n = first_k.shape[0]
+    fixed = jnp.zeros_like(exts)
+    for d in (LEFT, RIGHT):
+        term = first_k if d == LEFT else last_k
+        for b in range(4):
+            cand = (
+                KM.extend_left(spec, term, np.uint32(b))
+                if d == LEFT
+                else KM.extend_right(spec, term, np.uint32(b))
+            )
+            t, _, _, ok = _find_link_device(
+                spec, stranded, d, cand, lk_sorted, lk_ids, rk_sorted, rk_ids,
+                n_valid,
+            )
+            tc = jnp.clip(t, 0, n - 1)
+            keep = E.has_ext(exts, d, b) & ok & valid[tc]
+            fixed = jnp.where(keep, E.set_ext(fixed, d, b), fixed)
+    return jnp.where(valid, fixed, 0)
 
 
 class DebruijnGraph:
@@ -644,10 +675,15 @@ class Node:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _node_partner_jit(spec, stranded, use_join, lk_sorted, lk_ids, rk_sorted,
-                      rk_ids, first_k, last_k, exts, node_len, valid, labels):
-    """try_extend_node (compression.rs:115-205) as vector masks."""
+def _node_partner_body(spec, stranded, use_join, lk_sorted, lk_ids, rk_sorted,
+                       rk_ids, first_k, last_k, exts, node_len, valid, labels,
+                       n_valid=None):
+    """try_extend_node (compression.rs:115-205) as vector masks.
+
+    Accepts padded node tables: ``valid`` masks live slots, ``n_valid``
+    bounds the sorted indexes (the collective shard stitch passes
+    allgathered padded tables; the host path passes exact arrays).
+    """
     n = first_k.shape[0]
     idx_self = jnp.arange(n, dtype=jnp.int32)
     k = spec.k
@@ -670,7 +706,8 @@ def _node_partner_jit(spec, stranded, use_join, lk_sorted, lk_ids, rk_sorted,
         else:
             pal_next = jnp.zeros(n, bool)
         j, side, flip, found = _find_link_device(
-            spec, stranded, d, cand, lk_sorted, lk_ids, rk_sorted, rk_ids
+            spec, stranded, d, cand, lk_sorted, lk_ids, rk_sorted, rk_ids,
+            n_valid,
         )
         jc = jnp.clip(j, 0, n - 1)
         incoming_cnt = E.num_ext_dir(exts[jc], side)
@@ -699,6 +736,15 @@ def _node_partner_jit(spec, stranded, use_join, lk_sorted, lk_ids, rk_sorted,
     chains = C.link_chains(out[LEFT], out[RIGHT], ins[LEFT], ins[RIGHT], valid)
     u_exts = C.unitig_end_exts(exts, chains)
     return chains, u_exts
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _node_partner_jit(spec, stranded, use_join, lk_sorted, lk_ids, rk_sorted,
+                      rk_ids, first_k, last_k, exts, node_len, valid, labels):
+    return _node_partner_body(
+        spec, stranded, use_join, lk_sorted, lk_ids, rk_sorted, rk_ids,
+        first_k, last_k, exts, node_len, valid, labels,
+    )
 
 
 def compress_graph(

@@ -27,8 +27,11 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from tpu_debruijn import compress as C
+from tpu_debruijn import exts as E
 from tpu_debruijn import filter as F
+from tpu_debruijn import kmer as KM
 from tpu_debruijn import msp as M
+from tpu_debruijn import sorting as S
 from tpu_debruijn.filter import KmerTable
 from tpu_debruijn.kmer import KmerSpec
 from tpu_debruijn.parallel.mesh import SHARDS, make_mesh
@@ -101,11 +104,15 @@ def _scatter_intervals(plan: ShardPlan, bases, lengths, labels):
     )
 
 
-def sharded_count_step(plan: ShardPlan, data_reduce: str = "label_first"):
+def sharded_count_step(plan: ShardPlan, data_reduce: str = "label_first",
+                       stitch: bool = False):
     """Build the per-device step function (to be wrapped in shard_map).
 
     Returns fn(bases, lengths, labels) -> (KmerTableDev, chains, u_exts,
-    contrib, overflow): the complete sharded count+compress forward step.
+    contrib, overflow[, gchains, final_exts]): the complete sharded
+    count+compress forward step; with ``stitch``, also the global
+    boundary-stitch collective (replicated node-level chain labels +
+    final unitig exts).
     """
 
     def step(bases, lengths, labels):
@@ -125,13 +132,95 @@ def sharded_count_step(plan: ShardPlan, data_reduce: str = "label_first"):
         chains, u_exts, contrib = C.compress_kmer_table_device(
             plan.spec, plan.stranded, table.kmers, table.exts, table.n_valid
         )
+        out = (table, chains, u_exts, contrib, overflow)
+        if stitch:
+            gchains, final_exts = _global_stitch_device(
+                plan, table.kmers, chains, u_exts
+            )
+            out = out + (gchains, final_exts)
         # leading singleton axis on every leaf so the out_specs concat
-        # yields clean (n_shards, ...) per-shard stacks
-        return jax.tree.map(
-            lambda x: x[None], (table, chains, u_exts, contrib, overflow)
-        )
+        # yields clean (n_shards, ...) per-shard stacks (the replicated
+        # stitch outputs stack identically; hosts read row 0)
+        return jax.tree.map(lambda x: x[None], out)
 
     return step
+
+
+def _global_stitch_device(plan: ShardPlan, kmers, chains, u_exts):
+    """The SURVEY §7.6 boundary-stitch collective (VERDICT r1 item 4).
+
+    After per-shard kmer-level compression, allgather every shard's unitig
+    end-kmer/end-exts/length table over the mesh and run ONE global
+    node-level pointer-doubling round ON DEVICE — the designed replacement
+    for the host-side BaseGraph.combine + compress_graph path (reference
+    contract: compression.rs:291-349, filter.rs:238-276).  Runs inside
+    shard_map; all outputs are replicated across shards.
+
+    Returns (gchains, final_exts, final_first_item/flip lookup data) over
+    the GLOBAL padded node index g = shard * cap + local_slot.
+    """
+    from tpu_debruijn.graph import _fix_exts_device, _node_partner_body
+
+    spec = plan.spec
+    n = kmers.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid_u = idx < chains.n_unitigs
+    ff = chains.first_flip.astype(bool)[:, None]
+    lf = chains.last_flip.astype(bool)[:, None]
+    fk = jnp.where(ff, KM.rc(spec, kmers[chains.first_item]), kmers[chains.first_item])
+    lk = jnp.where(lf, KM.rc(spec, kmers[chains.last_item]), kmers[chains.last_item])
+
+    ag = partial(jax.lax.all_gather, axis_name=SHARDS, tiled=True)
+    g_fk, g_lk, g_exts, g_len, g_valid = (
+        ag(fk), ag(lk), ag(u_exts), ag(chains.length), ag(valid_u)
+    )
+
+    # global sorted end-kmer indexes (the DebruijnGraph finish step,
+    # graph.rs:117-141, as one device sort over the padded gathered table)
+    m = g_fk.shape[0]
+    ids = jnp.arange(m, dtype=jnp.int32)
+    inv = (~g_valid).astype(jnp.uint32)
+    lkeys, (lk_ids,) = S.sort_with_payload([inv] + S.limbs_to_keys(g_fk), [ids])
+    rkeys, (rk_ids,) = S.sort_with_payload([inv] + S.limbs_to_keys(g_lk), [ids])
+    lk_sorted = S.keys_to_limbs(lkeys[1:])
+    rk_sorted = S.keys_to_limbs(rkeys[1:])
+    nv = g_valid.sum().astype(jnp.int32)
+
+    # 1. fix_exts against the global node set: cross-shard dangling exts
+    #    either resolve (target is another shard's unitig end) or drop
+    fixed = _fix_exts_device(
+        spec, plan.stranded, lk_sorted, lk_ids, rk_sorted, rk_ids,
+        g_fk, g_lk, g_exts, g_valid, nv,
+    )
+    # 2. node-level partners + pointer doubling (try_extend_node rules)
+    node_len = g_len + spec.k - 1
+    gchains, gu_exts = _node_partner_body(
+        spec, plan.stranded, False, lk_sorted, lk_ids, rk_sorted, rk_ids,
+        g_fk, g_lk, fixed, node_len, g_valid, jnp.zeros(m, jnp.int32), nv,
+    )
+    # 3. final unitig end kmers -> final fix_exts(None) round entirely on
+    #    device (compress_graph's closing fix_exts, compression.rs:332)
+    fi, li = gchains.first_item, gchains.last_item
+    ffl = gchains.first_flip.astype(bool)[:, None]
+    lfl = gchains.last_flip.astype(bool)[:, None]
+    final_fk = jnp.where(ffl, KM.rc(spec, g_lk[fi]), g_fk[fi])
+    final_lk = jnp.where(lfl, KM.rc(spec, g_fk[li]), g_lk[li])
+    final_valid = ids < gchains.n_unitigs
+    finv = (~final_valid).astype(jnp.uint32)
+    flkeys, (flk_ids,) = S.sort_with_payload(
+        [finv] + S.limbs_to_keys(final_fk), [ids]
+    )
+    frkeys, (frk_ids,) = S.sort_with_payload(
+        [finv] + S.limbs_to_keys(final_lk), [ids]
+    )
+    fnv = final_valid.sum().astype(jnp.int32)
+    final_exts = _fix_exts_device(
+        spec, plan.stranded,
+        S.keys_to_limbs(flkeys[1:]), flk_ids,
+        S.keys_to_limbs(frkeys[1:]), frk_ids,
+        final_fk, final_lk, gu_exts, final_valid, fnv,
+    )
+    return gchains, final_exts
 
 
 def _dest_histogram_fn(k: int, p: int, n_shards: int, stranded: bool, mesh):
@@ -161,8 +250,9 @@ def _dest_histogram_fn(k: int, p: int, n_shards: int, stranded: bool, mesh):
     )
 
 
-def _shard_map_fn(plan: ShardPlan, mesh, data_reduce: str = "label_first"):
-    step = sharded_count_step(plan, data_reduce)
+def _shard_map_fn(plan: ShardPlan, mesh, data_reduce: str = "label_first",
+                  stitch: bool = False):
+    step = sharded_count_step(plan, data_reduce, stitch)
     return jax.jit(
         jax.shard_map(
             step,
@@ -198,6 +288,7 @@ def sharded_tables(
     slack: Optional[float] = None,
     cap_per_dest: Optional[int] = None,
     data_reduce: str = "label_first",
+    stitch: bool = False,
 ):
     """Run the device-sharded scan/exchange/count/compress step.
 
@@ -209,7 +300,10 @@ def sharded_tables(
     the extra pass.
 
     Returns (plan, stacked KmerTableDev, chains, u_exts, contrib) with a
-    leading n_shards axis on every array.
+    leading n_shards axis on every array.  With ``stitch``, two extra
+    values: the replicated global node-level Chains and final unitig exts
+    from the on-device boundary-stitch collective (leading axis is the
+    per-shard replica stack; read row 0).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -240,16 +334,17 @@ def sharded_tables(
         "sharded_tables: %d reads over %d shards, cap_per_dest=%d",
         bases.shape[0], n_shards, cap_per_dest,
     )
-    fn = _shard_map_fn(plan, mesh, data_reduce)
-    table, chains, u_exts, contrib, overflow = fn(
-        jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(labels)
-    )
+    fn = _shard_map_fn(plan, mesh, data_reduce, stitch)
+    out = fn(jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(labels))
+    table, chains, u_exts, contrib, overflow = out[:5]
     total_overflow = int(np.asarray(overflow).sum())
     if total_overflow:
         raise RuntimeError(
             f"{total_overflow} MSP intervals overflowed their destination "
             f"buffers; re-run with a larger slack or explicit cap_per_dest"
         )
+    if stitch:
+        return (plan, table, chains, u_exts, contrib) + tuple(out[5:])
     return plan, table, chains, u_exts, contrib
 
 
@@ -265,17 +360,26 @@ def assemble_sharded(
     slack: Optional[float] = None,
     cap_per_dest: Optional[int] = None,
     data_reduce_compress: str = "sum_sat_u16",
+    collective: bool = True,
 ):
     """Full sharded assembly == test.rs:418-504 in one call.
 
-    reads -> mesh-sharded MSP/count/compress -> combine shard graphs ->
-    global re-compression.  Returns the final DebruijnGraph; the result
-    equals the unsharded pipeline on the same reads (the reference's
-    N-shard == 1-shard oracle).
+    reads -> mesh-sharded MSP/count/compress -> boundary stitch -> final
+    graph.  Returns the final DebruijnGraph; the result equals the
+    unsharded pipeline on the same reads (the reference's N-shard ==
+    1-shard oracle).
+
+    With ``collective`` (the default), the shard-boundary stitch runs ON
+    DEVICE inside the same shard_map step: allgather of shard unitig
+    end-kmer tables + one global node-level pointer-doubling round
+    (SURVEY §7.6; ref contract compression.rs:291-349).  The host only
+    assembles sequence bytes from the returned chain labels — no per-node
+    work and no host-side graph recompression.  ``collective=False``
+    keeps the legacy host path (BaseGraph.combine + compress_graph).
     """
     from tpu_debruijn.graph import BaseGraph, compress_graph
 
-    plan, table, chains, u_exts, contrib = sharded_tables(
+    out = sharded_tables(
         reads,
         k,
         p,
@@ -285,12 +389,15 @@ def assemble_sharded(
         labels=labels,
         slack=slack,
         cap_per_dest=cap_per_dest,
+        stitch=collective,
     )
+    plan, table, chains, u_exts, contrib = out[:5]
     spec = plan.spec
     kmers = np.asarray(table.kmers)
     counts = np.asarray(table.counts)
 
     combined = BaseGraph(plan.k, stranded)
+    nu = np.asarray(chains.n_unitigs)
     for s in range(plan.n_shards):
         combined.add_flat(
             *C.assemble_unitigs_flat(
@@ -302,11 +409,48 @@ def assemble_sharded(
                 np.asarray(chains.length[s]),
                 np.asarray(chains.first_item[s]),
                 np.asarray(chains.first_flip[s]),
-                int(chains.n_unitigs[s]),
+                int(nu[s]),
                 np.asarray(u_exts[s]),
                 np.asarray(contrib[s]),
                 counts[s],
                 data_reduce=data_reduce_compress,
             )
         )
-    return compress_graph(combined.finish(), data_reduce=data_reduce_compress)
+    if not collective:
+        return compress_graph(combined.finish(), data_reduce=data_reduce_compress)
+
+    # device stitch already produced the global chain labels + final exts
+    # (replicated across shards; row 0).  All that remains on the host is
+    # flat sequence-byte assembly — vectorized, no per-node loop.
+    gchains, final_exts = out[5], out[6]
+    g_uid = np.asarray(gchains.uid)[0]
+    g_pos = np.asarray(gchains.pos)[0]
+    g_flip = np.asarray(gchains.flip)[0]
+    g_n = int(np.asarray(gchains.n_unitigs)[0])
+    f_exts = np.asarray(final_exts)[0]
+
+    cap = kmers.shape[1]  # unitig slots per shard == kmer slots
+    m = plan.n_shards * cap
+    offsets = np.zeros(plan.n_shards, np.int64)
+    offsets[1:] = np.cumsum(nu[:-1].astype(np.int64))
+    gi = np.arange(m)
+    live = g_uid >= 0
+    node_ids = (offsets[gi[live] // cap] + gi[live] % cap).astype(np.int64)
+
+    seqs = combined.sequences
+    seq_flat, out_lengths = C.stitch_flat(
+        plan.k, seqs._flat(), seqs.start, seqs.length,
+        node_ids, g_uid[live], g_pos[live], g_flip[live], g_n,
+    )
+    if callable(data_reduce_compress):
+        data_red = C._fold_closure(
+            data_reduce_compress, combined.data[node_ids],
+            g_uid[live], g_pos[live], g_n,
+        )
+    else:
+        data_red = C._reduce_np(
+            data_reduce_compress, combined.data[node_ids], g_uid[live], g_n
+        )
+    final = BaseGraph(plan.k, stranded)
+    final.add_flat(seq_flat, out_lengths, f_exts[:g_n], data_red)
+    return final.finish()
