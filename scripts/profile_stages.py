@@ -26,21 +26,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from bench import measure_sync_latency, timed_enqueue
 
-def timeit(fn, *args, iters=20, warm=2):
+_SYNC_LATENCY = None
+
+
+def timeit(fn, *args, iters=20, warm=2, force=None):
+    """Honest timing through the tunnel: enqueue-N + one forced readback
+    (block_until_ready does NOT sync on this image's TPU tunnel — see
+    bench.py's module docstring)."""
+    global _SYNC_LATENCY
+    import jax.numpy as jnp
+
+    if _SYNC_LATENCY is None:
+        _SYNC_LATENCY = measure_sync_latency(jnp, np)
+    if force is None:
+        force = lambda o: np.asarray(
+            jax.tree.leaves(o)[0].ravel()[:1]
+        )
     import jax
 
-    for _ in range(warm):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return timed_enqueue(fn, args, iters, _SYNC_LATENCY, force)
 
 
 def main():
@@ -72,10 +78,12 @@ def main():
     result = {"device": str(dev), "backend": jax.default_backend()}
 
     # ---- roofline ceiling: achieved HBM copy bandwidth ------------------
-    nbytes = 256 * 1024 * 1024
-    big = jnp.zeros(nbytes // 4, jnp.uint32)
-    t = timeit(jax.jit(lambda x: x + np.uint32(1)), big, iters=10)
-    copy_bw = 2 * nbytes / t  # read + write
+    from bench import measure_copy_bw, measure_sync_latency as _msl
+
+    global _SYNC_LATENCY
+    _SYNC_LATENCY = _msl(jnp, np)
+    result["sync_latency_s"] = round(_SYNC_LATENCY, 4)
+    copy_bw = measure_copy_bw(jnp, np, _SYNC_LATENCY)
     result["hbm_copy_GBps"] = round(copy_bw / 1e9, 1)
 
     # ---- pipeline stages -------------------------------------------------

@@ -360,3 +360,77 @@ def test_million_node_combine_and_stitch_fast(rng):
     # path takes ~1s alone but can see 5-10x slowdown under full-suite load
     assert t_combine < 30.0, f"combine took {t_combine:.1f}s"
     assert t_stitch < 30.0, f"stitch took {t_stitch:.1f}s"
+
+
+def test_max_path_beam_branchy_bubble(rng):
+    """Beam search on a BRANCHY graph (VERDICT r1 item 9): a bubble — two
+    alternative middles between shared flanks — must resolve to the
+    higher-coverage branch, and the beam must consider both."""
+    k = 15
+    flank_a = rng.integers(0, 4, 60)
+    flank_b = rng.integers(0, 4, 60)
+    mid_hi = rng.integers(0, 4, 40)
+    mid_lo = rng.integers(0, 4, 40)
+    hi = np.concatenate([flank_a, mid_hi, flank_b]).astype(np.uint8)
+    lo = np.concatenate([flank_a, mid_lo, flank_b]).astype(np.uint8)
+    # hi path observed 3x, lo path once -> counts differ per branch node
+    reads = [(hi, 0, 0)] * 3 + [(lo, 0, 0)]
+    tab = F.filter_kmers(reads, k, stranded=True, min_obs=1)
+    nodes = C.compress_kmers(tab)
+    g = G.from_compress_output(k, True, nodes).finish()
+    # bubble shape: flank, two middles, flank (possibly split further)
+    assert len(g) >= 4
+    branchy = [
+        i for i in range(len(g))
+        if len(g.get_node(i).l_edges()) > 1 or len(g.get_node(i).r_edges()) > 1
+    ]
+    assert branchy, "expected at least one branch node"
+
+    path = g.max_path_beam(8, lambda d: float(d), lambda d: True)
+    seq = g.sequence_of_path(path).bases()
+    want = hi
+    assert np.array_equal(seq, want) or np.array_equal(
+        (3 - seq[::-1]).astype(seq.dtype), want
+    )
+    # the losing branch's middle kmers must NOT appear in the chosen path
+    mid_lo_str = "".join("ACGT"[b] for b in lo[60:100])
+    got_str = "".join("ACGT"[b] for b in seq)
+    assert mid_lo_str not in got_str
+
+
+def test_max_path_beam_cyclic_terminates(rng):
+    """Beam search on a CYCLIC graph: a smooth circle has no terminal
+    node; the walk must detect the revisit (Cycle state, graph.rs:844-856)
+    and terminate with a path that covers the cycle exactly once."""
+    k = 15
+    core = rng.integers(0, 4, 120).astype(np.uint8)
+    # wrap k bases so the boundary kmers carry the closing extensions
+    # (k-1 would cover the kmer set but leave the exts chain open)
+    circular = np.concatenate([core, core[:k]])
+    tab = F.filter_kmers([(circular, 0, 0)], k, stranded=True, min_obs=1)
+    nodes = C.compress_kmers(tab)
+    g = G.from_compress_output(k, True, nodes).finish()
+    assert len(g) == 1
+    # the single node loops onto itself
+    assert any(t == 0 for t, _, _ in g.get_node(0).r_edges())
+
+    path = g.max_path_beam(4, lambda d: 1.0, lambda d: True)
+    # reference semantics (graph.rs:816-833): the cycle-closing revisit IS
+    # appended to the path before the state is frozen as Cycle
+    assert [p for p, _ in path] == [0, 0]
+
+    # branchy + cyclic: a tail entering the cycle
+    tail = rng.integers(0, 4, 50).astype(np.uint8)
+    entry = np.concatenate([tail, core[:40]])
+    tab2 = F.filter_kmers(
+        [(circular, 0, 0), (entry.astype(np.uint8), 0, 0)], k,
+        stranded=True, min_obs=1,
+    )
+    g2 = G.from_compress_output(k, True, C.compress_kmers(tab2)).finish()
+    assert len(g2) >= 2
+    path2 = g2.max_path_beam(8, lambda d: 1.0, lambda d: True)
+    ids = [p for p, _ in path2]
+    # terminates, visits >= 2 nodes, and at most one node repeats (the
+    # cycle closer)
+    assert len(ids) >= 2
+    assert len(ids) - len(set(ids)) <= 1

@@ -18,7 +18,7 @@ def _cmp(seqs, k, p, perm, rc):
         assert gg == ww
 
 
-@pytest.mark.parametrize("k,p", [(16, 6), (35, 5), (50, 8)])
+@pytest.mark.parametrize("k,p", [(16, 6), (35, 5), (50, 8), (32, 16)])
 @pytest.mark.parametrize("rc", [True, False])
 def test_msp_parity(k, p, rc, rng):
     lens = [int(x) for x in rng.integers(k, 4 * k, 5)]
@@ -68,3 +68,77 @@ def test_msp_invariants(rng, k, p):
 
 def test_msp_short_seq_empty():
     assert M.msp_sequence(np.zeros(10, np.uint8), 31, 6) == []
+
+
+def _pmer_ranks(s: np.ndarray, p: int) -> np.ndarray:
+    """Vectorized lexicographic ranks of every p-mer of s (p <= 16)."""
+    n = len(s) - p + 1
+    pw = 4 ** np.arange(p - 1, -1, -1, dtype=np.int64)
+    idx = np.arange(n)[:, None] + np.arange(p)[None, :]
+    return s.astype(np.int64)[idx].dot(pw)
+
+
+def _pmer_rc_ranks(s: np.ndarray, p: int) -> np.ndarray:
+    return _pmer_ranks((3 - s[::-1]).astype(np.uint8), p)[::-1]
+
+
+# the reference's sweep range (msp.rs:488-542): k=16..64 x
+# p in {5,8,10,12,14,15,16} x {identity, random permutation} scores.
+# A covering design rather than the full product: every k and every p
+# appears, both score functions do, and each cell runs 20 reps — one XLA
+# compile per cell keeps the cold-cache suite time bounded.
+SWEEP = [
+    ("identity", 16, 5), ("identity", 16, 16), ("identity", 24, 8),
+    ("identity", 32, 10), ("identity", 32, 16), ("identity", 48, 12),
+    ("identity", 48, 15), ("identity", 64, 5), ("identity", 64, 14),
+    ("identity", 64, 16),
+    ("perm", 16, 8), ("perm", 32, 12), ("perm", 48, 5), ("perm", 64, 10),
+]
+
+
+@pytest.mark.parametrize("score,k,p", SWEEP)
+def test_msp_invariants_sweep(rng, k, p, score):
+    """check_msp_slices invariants (msp.rs:404-486) over the reference's
+    sweep breadth, >= 20 reps per cell, vectorized checking:
+      * every kmer covered exactly once (contiguous partition),
+      * p <= slice_len <= 2k - p,
+      * the reported bucket is the canonical rank of a slice pmer that
+        achieves the slice's minimal score under the active score fn.
+    Exact tie-breaking is pinned separately by oracle parity
+    (test_msp_parity / test_msp_permutation / golden snapshots)."""
+    if p >= k:
+        pytest.skip("p must be < k")
+    reps = 20
+    perm = None
+    if score == "perm":
+        if p > 12:
+            pytest.skip("permutation table too large for p > 12 "
+                        "(engine caps permutation scoring at p <= 15)")
+        perm = rng.permutation(4 ** p).astype(np.int64)
+    L = 3 * k  # one padded shape per cell -> one compile
+    seqs = [rng.integers(0, 4, L).astype(np.uint8) for _ in range(reps)]
+    outs = M.msp_sequences(
+        seqs, k, p, None if perm is None else perm.astype(np.int32), rc=True
+    )
+    for s, parts in zip(seqs, outs):
+        ranks = _pmer_ranks(s, p)
+        rc_ranks = _pmer_rc_ranks(s, p)
+        canon = np.minimum(ranks, rc_ranks)
+        if perm is None:
+            scores = np.minimum(ranks, rc_ranks)
+        else:
+            scores = np.minimum(perm[ranks], perm[rc_ranks])
+        cursor = 0
+        covered = 0
+        for bucket, exts, sub in parts:
+            assert p <= len(sub) <= 2 * k - p
+            nk = len(sub) - k + 1
+            start = cursor  # slices partition the kmer positions in order
+            # slice pmers = positions [start, start + len(sub) - p]
+            sl = slice(start, start + len(sub) - p + 1)
+            best = scores[sl].min()
+            achievers = canon[sl][scores[sl] == best]
+            assert bucket in achievers
+            covered += nk
+            cursor += nk
+        assert covered == L - k + 1

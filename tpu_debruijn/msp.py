@@ -36,13 +36,25 @@ INF = jnp.int32(np.iinfo(np.int32).max)
 
 
 def pmer_ranks(p: int, bases, lengths):
-    """Ranks of all p-mers: (R, L-p+1) int32 (p <= 15)."""
+    """Ranks of all p-mers: (R, L-p+1) int32 bit patterns (p <= 16).
+
+    For p = 16 the rank occupies all 32 bits, so the int32 VIEW may be
+    negative; compare via :func:`_order_key`, which restores unsigned
+    order (the reference compares u64 ranks, msp.rs:115-117).
+    """
     spec = KmerSpec(p)
     assert spec.w == 1
     kmers, _, valid = F.extract_kmers(
         spec, bases, lengths, jnp.zeros(bases.shape[0], jnp.int32)
     )
     return kmers[..., 0].astype(jnp.int32), valid
+
+
+def _order_key(ranks):
+    """Order-preserving int32 key for uint32 rank bit patterns: XOR the
+    sign bit maps unsigned order onto signed order (needed only for p=16,
+    where ranks fill 32 bits; a no-op shift for smaller p)."""
+    return ranks ^ jnp.int32(-(2**31))
 
 
 def _rc_rank(p: int, ranks):
@@ -101,12 +113,17 @@ def msp_scan_batch(
     lk = l - k + 1
     ranks, _ = pmer_ranks(p, bases, lengths)
     if permutation is not None:
+        if p > 15:
+            raise ValueError("permutation scoring requires p <= 15 "
+                             "(int32 table indexing)")
         perm = jnp.asarray(permutation, jnp.int32)
         scores = perm[ranks]
         if rc:
             scores = jnp.minimum(scores, perm[_rc_rank(p, ranks)])
     else:
-        scores = ranks if not rc else jnp.minimum(ranks, _rc_rank(p, ranks))
+        scores = _order_key(ranks)
+        if rc:
+            scores = jnp.minimum(scores, _order_key(_rc_rank(p, ranks)))
 
     w = k - p + 1
     wv, wp = _window_min(scores, w)
@@ -276,6 +293,8 @@ def msp_sequences(seqs, k: int, p: int, permutation=None, rc: bool = True):
     sub = np.asarray(sub)[:n]
     for j in range(n):
         results[keep[read[j]]].append(
-            (int(bucket[j]), int(exts[j]), sub[j, : length[j]].astype(np.uint8))
+            # bucket is the uint32 canonical rank stored in int32 lanes
+            (int(np.uint32(bucket[j])), int(exts[j]),
+             sub[j, : length[j]].astype(np.uint8))
         )
     return results

@@ -480,13 +480,14 @@ def msp_sequence(seq, k: int, p: int, permutation=None, rc: bool = True):
     """msp.rs:279-324: returns list of (bucket, exts, subseq_bases)."""
     if len(seq) < k:
         return []
-    if permutation is None:
-        permutation = list(range(1 << (2 * p)))
+    # identity permutation (msp.rs:298-303) applied lazily: materializing
+    # list(range(4**p)) is 4.3e9 entries at p=16
+    lookup = (lambda v: v) if permutation is None else (lambda v: permutation[v])
 
     def score(pv: int) -> int:
         if rc:
-            return min(permutation[pv], permutation[OKmer.rc(p, pv)])
-        return permutation[pv]
+            return min(lookup(pv), lookup(OKmer.rc(p, pv)))
+        return lookup(pv)
 
     out = []
     for minimizer, start, length, _mpos in msp_scan(seq, k, p, score):
