@@ -1,0 +1,125 @@
+"""Scale demonstration (VERDICT r1 item 3 / BASELINE config-5 analog).
+
+Streams >= 100M kmers (default: 1M synthetic 160bp reads, k=31) through
+``filter_kmers_streaming`` under a ``memory_gb`` device bound, then
+path-compresses the resulting table.  Records wall time, throughput, and
+peak host RSS into artifacts/scale_run.json.
+
+Reads are generated on the fly from a multi-megabase genome (chunked
+generator — the full read set is never materialized), which is exactly
+the iterator contract the streaming API supports.
+
+Run:  python scripts/bench_scale.py [--reads 1000000] [--genome 10000000]
+      [--cpu] [--memory-gb 2]
+"""
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def read_stream(n_reads, read_len, genome, seed=0, batch=65536):
+    rng = np.random.default_rng(seed)
+    done = 0
+    while done < n_reads:
+        m = min(batch, n_reads - done)
+        starts = rng.integers(0, len(genome) - read_len, m)
+        idx = starts[:, None] + np.arange(read_len)[None, :]
+        block = genome[idx]
+        flip = rng.random(m) < 0.5
+        block[flip] = (3 - block[flip, ::-1]).astype(np.uint8)
+        for i in range(m):
+            yield (block[i], 0, 0)
+        done += m
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=1_000_000)
+    ap.add_argument("--read-len", type=int, default=160)
+    ap.add_argument("--genome", type=int, default=10_000_000)
+    ap.add_argument("--k", type=int, default=31)
+    ap.add_argument("--memory-gb", type=float, default=2.0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--min-obs", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(repo, ".jax_cache_cpu" if args.cpu else ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpu_debruijn import compress as C
+    from tpu_debruijn import filter as F
+    from tpu_debruijn.graph import from_flat_output
+
+    k = args.k
+    n_kmers = args.reads * (args.read_len - k + 1)
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, args.genome).astype(np.uint8)
+
+    t0 = time.time()
+    table = F.filter_kmers_streaming(
+        read_stream(args.reads, args.read_len, genome),
+        k,
+        stranded=False,
+        min_obs=args.min_obs,
+        read_len_cap=args.read_len,
+        memory_gb=args.memory_gb,
+    )
+    t_count = time.time() - t0
+
+    t0 = time.time()
+    spec = table.spec
+    import jax.numpy as jnp
+
+    chains, u_exts, contrib = C._compress_jit(
+        spec, False, False, jnp.asarray(table.kmers), jnp.asarray(table.exts),
+        jnp.int32(len(table)), jnp.zeros(len(table), jnp.int32),
+    )
+    nutg = int(np.asarray(chains.n_unitigs))
+    flat = C.assemble_unitigs_flat(
+        spec, table.kmers, np.asarray(chains.uid), np.asarray(chains.pos),
+        np.asarray(chains.flip), np.asarray(chains.length),
+        np.asarray(chains.first_item), np.asarray(chains.first_flip),
+        nutg, np.asarray(u_exts), np.asarray(contrib), table.counts,
+    )
+    g = from_flat_output(k, False, *flat)
+    t_compress = time.time() - t0
+
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    result = {
+        "n_reads": args.reads,
+        "read_len": args.read_len,
+        "k": k,
+        "n_kmers_streamed": n_kmers,
+        "n_valid_kmers": len(table),
+        "n_unitigs": len(g),
+        "memory_gb_bound": args.memory_gb,
+        "count_wall_s": round(t_count, 1),
+        "compress_wall_s": round(t_compress, 1),
+        "kmers_per_s_end_to_end": round(n_kmers / (t_count + t_compress), 1),
+        "peak_host_rss_gb": round(peak_rss_gb, 2),
+        "device": str(jax.devices()[0]),
+    }
+    os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)
+    with open(os.path.join(repo, "artifacts", "scale_run.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
