@@ -144,6 +144,44 @@ def canonicalize(spec: KmerSpec, kmers, exts, stranded: bool, use_pallas: bool =
     return ck, cexts, flip
 
 
+def sort_observations(spec: KmerSpec, kf, ef, lab, vf):
+    """Sort kmer observations by (validity, kmer), carrying exts + labels.
+
+    Returns (slimbs: list of W key arrays, svalid, sexts, slab).
+
+    Two HBM-traffic optimizations over a naive variadic sort (the sort is
+    the pipeline's dominant cost; TPU's comparator sort moves EVERY array
+    through every pass, so each dropped array cuts traffic ~1/rows):
+
+    * when the kmer's top limb has spare pad bits (k not a multiple of
+      16), the validity flag rides in limb 0's top bit instead of a
+      dedicated key array — invalid slots sort after all valid kmers;
+    * exts and labels travel as ONE int32 row-index payload and are
+      gathered after the sort (two cheap single-pass gathers instead of
+      two full sort payloads).
+    """
+    n = kf.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if spec.pad >= 1:
+        flag = jnp.where(vf, np.uint32(0), np.uint32(1 << 31))
+        keys = [kf[:, 0] | flag] + [kf[:, i] for i in range(1, spec.w)]
+        nflag = 0
+    else:
+        keys = [(~vf).astype(jnp.uint32)] + S.limbs_to_keys(kf)
+        nflag = 1
+    out = jax.lax.sort(keys + [idx], num_keys=len(keys), is_stable=True)
+    sidx = out[-1]
+    if nflag:
+        svalid = out[0] == 0
+        slimbs = list(out[1:-1])
+    else:
+        svalid = (out[0] >> np.uint32(31)) == 0
+        slimbs = list(out[:-1])
+        # top bit only set on invalid slots, which sort past every valid
+        # row and are masked by svalid everywhere downstream
+    return slimbs, svalid, ef[sidx], lab[sidx]
+
+
 @dataclasses.dataclass
 class KmerTableDev:
     """Device-side padded kmer table (the BoomHashMap2 replacement).
@@ -200,11 +238,7 @@ def count_kmers(
         jnp.asarray(labels, jnp.int32)[:, None], valid.shape
     ).reshape(n)
 
-    inv = (~vf).astype(jnp.uint32)
-    keys = [inv] + S.limbs_to_keys(kf)
-    (skeys, (sexts, slab)) = S.sort_with_payload(keys, [ef, lab])
-    sinv, slimbs = skeys[0], skeys[1:]
-    svalid = sinv == 0
+    slimbs, svalid, sexts, slab = sort_observations(spec, kf, ef, lab, vf)
     starts = S.run_starts(slimbs, svalid)
 
     # scatter-free segmented reductions: XLA lowers scatters poorly on TPU
@@ -287,11 +321,23 @@ def count_kmers_sets(
         jnp.asarray(labels, jnp.int32)[:, None], valid.shape
     ).reshape(n)
 
-    inv = (~vf).astype(jnp.uint32)
-    keys = [inv] + S.limbs_to_keys(kf) + [lab.astype(jnp.uint32)]
-    (skeys, (sexts,)) = S.sort_with_payload(keys, [ef])
-    sinv, slimbs, slab = skeys[0], skeys[1:-1], skeys[-1].astype(jnp.int32)
-    svalid = sinv == 0
+    # validity flag folded into limb 0's pad bit when available (see
+    # sort_observations); labels are part of the KEY here, not a payload
+    if spec.pad >= 1:
+        flag = jnp.where(vf, np.uint32(0), np.uint32(1 << 31))
+        keys = [kf[:, 0] | flag] + [kf[:, i] for i in range(1, w)]
+        keys += [lab.astype(jnp.uint32)]
+        (skeys, (sexts,)) = S.sort_with_payload(keys, [ef])
+        svalid = (skeys[0] >> np.uint32(31)) == 0
+        slimbs = [skeys[0] & spec.top_mask] + list(skeys[1:-1])
+        slab = skeys[-1].astype(jnp.int32)
+    else:
+        inv = (~vf).astype(jnp.uint32)
+        keys = [inv] + S.limbs_to_keys(kf) + [lab.astype(jnp.uint32)]
+        (skeys, (sexts,)) = S.sort_with_payload(keys, [ef])
+        svalid = skeys[0] == 0
+        slimbs = list(skeys[1:-1])
+        slab = skeys[-1].astype(jnp.int32)
     skmers = S.keys_to_limbs(slimbs)
 
     starts = S.run_starts(slimbs, svalid)  # kmer-run starts
@@ -429,11 +475,12 @@ def _sorted_obs_jit(spec, stranded, bases, lengths, seq_exts, labels):
     lab = jnp.broadcast_to(
         jnp.asarray(labels, jnp.int32)[:, None], valid.shape
     ).reshape(n)
-    inv = (~vf).astype(jnp.uint32)
-    keys = [inv] + S.limbs_to_keys(kf)
-    (skeys, (sexts, slab)) = S.sort_with_payload(keys, [ef, lab])
+    slimbs, svalid, sexts, slab = sort_observations(spec, kf, ef, lab, vf)
+    if spec.pad >= 1:
+        # clear the validity flag bit: these limbs are returned to the host
+        slimbs = [slimbs[0] & spec.top_mask] + slimbs[1:]
     return (
-        S.keys_to_limbs(skeys[1:]),
+        S.keys_to_limbs(slimbs),
         sexts,
         slab,
         vf.sum().astype(jnp.int32),
