@@ -126,6 +126,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--full-matrix", action="store_true",
                     help="run every config (default skips the slowest on --quick)")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused Pallas extract+canonicalize frontend "
+                         "(kernels/extract_canonical.py) for A/B comparison")
     args = ap.parse_args()
 
     import jax
@@ -169,7 +172,8 @@ def main():
         # global optimization passes blow up compile time superlinearly
         @jax.jit
         def count(b, l, e, lab, spec=spec, stranded=stranded):
-            return F.count_kmers(spec, b, l, e, lab, stranded=stranded, min_obs=1)
+            return F.count_kmers(spec, b, l, e, lab, stranded=stranded,
+                                 min_obs=1, fused_frontend=args.fused)
 
         @jax.jit
         def compress(kmers, exts, n_valid, spec=spec, stranded=stranded):

@@ -74,8 +74,10 @@ def main():
     from tpu_debruijn import sorting as S
     from tpu_debruijn.kmer import KmerSpec
 
+    print("initializing backend...", file=sys.stderr, flush=True)
     dev = jax.devices()[0]
     result = {"device": str(dev), "backend": jax.default_backend()}
+    print(f"device: {dev}", file=sys.stderr, flush=True)
 
     # ---- roofline ceiling: achieved HBM copy bandwidth ------------------
     from bench import measure_copy_bw, measure_sync_latency as _msl
@@ -83,8 +85,10 @@ def main():
     global _SYNC_LATENCY
     _SYNC_LATENCY = _msl(jnp, np)
     result["sync_latency_s"] = round(_SYNC_LATENCY, 4)
+    print(f"sync latency: {_SYNC_LATENCY*1e3:.1f} ms", file=sys.stderr, flush=True)
     copy_bw = measure_copy_bw(jnp, np, _SYNC_LATENCY)
     result["hbm_copy_GBps"] = round(copy_bw / 1e9, 1)
+    print(f"copy bw: {copy_bw/1e9:.1f} GB/s", file=sys.stderr, flush=True)
 
     # ---- pipeline stages -------------------------------------------------
     spec = KmerSpec(args.k)
@@ -128,6 +132,7 @@ def main():
     def full_compress(kmers, exts, n_valid):
         return C.compress_kmer_table_device(spec, False, kmers, exts, n_valid)
 
+    print("compiling pipeline stages...", file=sys.stderr, flush=True)
     km, ex, valid = stage_extract(db, dl, de)
     jax.block_until_ready(km)
     kf = km.reshape(n, w)
@@ -138,7 +143,9 @@ def main():
     ck, cex, _ = stage_canon_xla(kf, ef)
 
     t_extract = timeit(stage_extract, db, dl, de)
+    print(f"extract: {t_extract*1e6:.0f} us", file=sys.stderr, flush=True)
     t_canon_xla = timeit(stage_canon_xla, kf, ef)
+    print(f"canon_xla: {t_canon_xla*1e6:.0f} us", file=sys.stderr, flush=True)
     t_canon_pal = None
     if not args.no_pallas:
         try:
@@ -146,7 +153,9 @@ def main():
         except Exception as exn:  # pallas may be unavailable on some backends
             result["pallas_error"] = repr(exn)
     t_sort = timeit(stage_sort, ck, cex, lab, vf)
+    print(f"sort: {t_sort*1e6:.0f} us", file=sys.stderr, flush=True)
     t_count = timeit(full_count, db, dl, de, dlab)
+    print(f"count: {t_count*1e6:.0f} us", file=sys.stderr, flush=True)
     tbl = full_count(db, dl, de, dlab)
     jax.block_until_ready(tbl.kmers)
     t_compress = timeit(full_compress, tbl.kmers, tbl.exts, tbl.n_valid)

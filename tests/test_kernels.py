@@ -40,3 +40,36 @@ def test_canonicalize_fused_batch_shapes(rng):
     assert ce.shape == (6, 7)
     want_k, want_f = KM.min_rc_flip(spec, kmers)
     assert np.array_equal(np.asarray(ck), np.asarray(want_k))
+
+
+def test_extract_canonical_fused_parity(rng):
+    """Fused pack+extract+canonicalize kernel (SURVEY §7 step 7) ==
+    filter.extract_kmers + filter.canonicalize, both modes, several K."""
+    import jax.numpy as jnp
+
+    from tpu_debruijn import filter as F
+    from tpu_debruijn.kernels.extract_canonical import extract_canonical_fused
+    from tpu_debruijn.kmer import KmerSpec
+
+    for k in (16, 31, 47, 63):
+        spec = KmerSpec(k)
+        r, l = 9, 96
+        bases = rng.integers(0, 4, (r, l)).astype(np.uint8)
+        lengths = rng.integers(k, l + 1, r).astype(np.int32)
+        seq_exts = rng.integers(0, 256, r).astype(np.int32)
+
+        want_k, want_e, want_v = F.extract_kmers(
+            spec, jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(seq_exts)
+        )
+        for stranded in (False, True):
+            ck, ce, _ = F.canonicalize(
+                spec, want_k, want_e, stranded
+            )
+            gk, ge, gv = extract_canonical_fused(
+                spec, bases, lengths, seq_exts, stranded=stranded
+            )
+            wv = np.asarray(want_v)
+            assert np.array_equal(np.asarray(gv), wv)
+            # compare only valid slots (padding windows differ)
+            assert np.array_equal(np.asarray(gk)[wv], np.asarray(ck)[wv]), (k, stranded)
+            assert np.array_equal(np.asarray(ge)[wv], np.asarray(ce)[wv]), (k, stranded)

@@ -219,15 +219,25 @@ def count_kmers(
     stranded: bool,
     min_obs: int,
     data_reduce: str = "label_first",
+    fused_frontend: bool = False,
 ) -> KmerTableDev:
     """The filter_kmers pipeline body (jit-friendly; static shapes).
 
     data_reduce: how to fold per-observation labels per kmer —
       'label_first' (keep any one; CountFilter ignores data),
       'min' / 'max' / 'sum'.
+    fused_frontend: run pack+extract+canonicalize as the single Pallas
+      VMEM pass (kernels/extract_canonical.py) instead of the XLA ladder.
     """
-    kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
-    kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
+    if fused_frontend:
+        from tpu_debruijn.kernels.extract_canonical import extract_canonical_fused
+
+        kmers, exts, valid = extract_canonical_fused(
+            spec, bases, lengths, seq_exts, stranded
+        )
+    else:
+        kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
+        kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
 
     n = kmers.shape[0] * kmers.shape[1]
     w = spec.w
