@@ -73,3 +73,36 @@ def test_extract_canonical_fused_parity(rng):
             # compare only valid slots (padding windows differ)
             assert np.array_equal(np.asarray(gk)[wv], np.asarray(ck)[wv]), (k, stranded)
             assert np.array_equal(np.asarray(ge)[wv], np.asarray(ce)[wv]), (k, stranded)
+
+
+def test_count_kmers_fused_frontend_same_table(rng):
+    """count_kmers(fused_frontend=True) must produce the identical table."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_debruijn import filter as F
+    from tpu_debruijn.kmer import KmerSpec
+
+    spec = KmerSpec(31)
+    r, l = 32, 96
+    bases = rng.integers(0, 4, (r, l)).astype(np.uint8)
+    lengths = np.full(r, l, np.int32)
+    seq_exts = np.zeros(r, np.int32)
+    labels = np.arange(r, dtype=np.int32)
+
+    outs = {}
+    for fused in (False, True):
+        t = jax.jit(
+            lambda b, le, se, la, fused=fused: F.count_kmers(
+                spec, b, le, se, la, stranded=False, min_obs=2,
+                fused_frontend=fused,
+            )
+        )(jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(seq_exts),
+          jnp.asarray(labels))
+        n = int(t.n_valid)
+        outs[fused] = (
+            np.asarray(t.kmers)[:n], np.asarray(t.exts)[:n],
+            np.asarray(t.counts)[:n], np.asarray(t.data)[:n],
+        )
+    for a, b in zip(outs[False], outs[True]):
+        assert np.array_equal(a, b)
