@@ -31,6 +31,15 @@ def main():
                     help="remove tips shorter than 2K and re-compress")
     ap.add_argument("--json", help="also write node/link JSON here")
     ap.add_argument("--max-records", type=int, default=None)
+    ap.add_argument("--sharded", action="store_true",
+                    help="MSP-shard over all devices of the mesh "
+                         "(all_to_all exchange + on-device boundary stitch)")
+    ap.add_argument("-p", type=int, default=8,
+                    help="minimizer length for --sharded (default 8)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="memory-bounded streaming counting (filter.rs:151-183)")
+    ap.add_argument("--memory-gb", type=float, default=4.0,
+                    help="device working-set bound for --streaming")
     args = ap.parse_args()
 
     from tpu_debruijn import compress as C
@@ -47,13 +56,31 @@ def main():
     n_bases = sum(len(r) for r in reads)
     print(f"{len(reads)} reads, {n_bases} bases", file=sys.stderr)
 
-    table = F.filter_kmers(
-        [(r, 0, 0) for r in reads], args.k,
-        stranded=args.stranded, min_obs=args.min_obs,
-    )
-    print(f"{len(table)} filtered kmers", file=sys.stderr)
-    nodes = C.compress_kmers(table)
-    graph = from_compress_output(args.k, args.stranded, nodes).finish()
+    if args.sharded:
+        from tpu_debruijn.parallel import assemble_sharded, make_mesh
+
+        mesh = make_mesh()
+        print(f"sharding over {mesh.devices.size} devices", file=sys.stderr)
+        graph = assemble_sharded(
+            reads, args.k, args.p,
+            stranded=args.stranded, min_obs=args.min_obs, mesh=mesh,
+        )
+    else:
+        if args.streaming:
+            maxlen = max(len(r) for r in reads)
+            table = F.filter_kmers_streaming(
+                ((r, 0, 0) for r in reads), args.k,
+                stranded=args.stranded, min_obs=args.min_obs,
+                read_len_cap=maxlen, memory_gb=args.memory_gb,
+            )
+        else:
+            table = F.filter_kmers(
+                [(r, 0, 0) for r in reads], args.k,
+                stranded=args.stranded, min_obs=args.min_obs,
+            )
+        print(f"{len(table)} filtered kmers", file=sys.stderr)
+        nodes = C.compress_kmers(table)
+        graph = from_compress_output(args.k, args.stranded, nodes).finish()
     if args.clean_tips:
         graph = clean_tips(graph, lambda node: node.len() < 2 * args.k)
     print(f"{len(graph)} unitigs", file=sys.stderr)

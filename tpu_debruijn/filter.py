@@ -917,10 +917,18 @@ def filter_kmers_streaming(
             return
         if cap is None:
             cap = -(-max(len(s[0]) for s in chunk) // 64) * 64
-        arr = np.zeros((chunk_reads, max(cap, k)), np.uint8)
-        lengths = np.zeros(chunk_reads, np.int32)
-        seq_exts = np.zeros(chunk_reads, np.int32)
-        labels = np.zeros(chunk_reads, np.int32)
+        # pad rows to a power of two, not the full memory-budget chunk:
+        # a small final (or only) chunk must not inflate to chunk_reads
+        # rows (a 4GB budget implies ~1M rows — pathological for tiny
+        # inputs); power-of-two rounding bounds recompiles at log2 shapes
+        rows = 256
+        while rows < len(chunk):
+            rows *= 2
+        rows = min(rows, chunk_reads)
+        arr = np.zeros((rows, max(cap, k)), np.uint8)
+        lengths = np.zeros(rows, np.int32)
+        seq_exts = np.zeros(rows, np.int32)
+        labels = np.zeros(rows, np.int32)
         for i, (s, e, d) in enumerate(chunk):
             s = np.asarray(s, np.uint8)[: arr.shape[1]]
             arr[i, : len(s)] = s
