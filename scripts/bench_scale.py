@@ -35,8 +35,9 @@ def read_stream(n_reads, read_len, genome, seed=0, batch=65536):
         block = genome[idx]
         flip = rng.random(m) < 0.5
         block[flip] = (3 - block[flip, ::-1]).astype(np.uint8)
-        for i in range(m):
-            yield (block[i], 0, 0)
+        # pre-batched 2-D block: filter_kmers_streaming's fast path —
+        # no per-read Python staging
+        yield (block, 0, 0)
         done += m
 
 

@@ -139,6 +139,37 @@ def test_streaming_matches_single_pass(rng):
         assert np.array_equal(one.exts, stream.exts)
 
 
+def test_streaming_batched_blocks_match_per_read(rng):
+    # 2-D pre-batched blocks (the high-volume fast path) must equal the
+    # per-read staging path and the one-shot pipeline
+    k = 21
+    blocks = [rng.integers(0, 4, (37, 60)).astype(np.uint8) for _ in range(3)]
+    labels = [np.arange(i * 37, (i + 1) * 37, dtype=np.int32) for i in range(3)]
+    per_read = [
+        (b[j], 0, int(lab[j]))
+        for b, lab in zip(blocks, labels)
+        for j in range(b.shape[0])
+    ]
+    one = F.filter_kmers(per_read, k, stranded=False, min_obs=2)
+    s_rows = F.filter_kmers_streaming(
+        per_read, k, stranded=False, min_obs=2, chunk_reads=16
+    )
+    s_blocks = F.filter_kmers_streaming(
+        [(b, 0, lab) for b, lab in zip(blocks, labels)],
+        k, stranded=False, min_obs=2, chunk_reads=16,
+    )
+    assert one.to_tuples() == s_rows.to_tuples() == s_blocks.to_tuples()
+    assert np.array_equal(one.exts, s_blocks.exts)
+    # ragged lengths via the optional 4th element
+    lens = rng.integers(k, 61, 37).astype(np.int32)
+    ragged = [(blocks[0][j, : lens[j]], 0, 0) for j in range(37)]
+    a = F.filter_kmers_streaming(ragged, k, stranded=False, min_obs=1)
+    b = F.filter_kmers_streaming(
+        [(blocks[0], 0, 0, lens)], k, stranded=False, min_obs=1
+    )
+    assert a.to_tuples() == b.to_tuples()
+
+
 def test_kmer_table_checkpoint(tmp_path, rng):
     reads = [(rng.integers(0, 4, 50).astype(np.uint8), 0, i) for i in range(8)]
     t = F.filter_kmers(reads, 16, stranded=False, min_obs=1, report_all=True)

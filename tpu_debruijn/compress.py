@@ -182,37 +182,74 @@ def _succ_states(partner_l, partner_r, in_l, in_r, valid):
     return jnp.where(svalid, succ, -1)
 
 
-def _double(succ, node, orient):
-    """Pointer doubling: returns (end_state, dist_to_end, min_node,
-    orient_at_min, hits_end) arrays over states.
+def _find_cycles(succ, mnmo):
+    """Pointer-doubling pass 1: returns (reached_end, mnmo_fwd_min).
 
-    ``min_node``/``orient_at_min`` aggregate over the state's forward
-    reachable segment (inclusive of itself).
+    ``reached_end[s]``: some forward step from s hits a chain end (so s is
+    on a path, not a cycle).  ``mnmo_fwd_min``: min packed (node<<1|orient)
+    over the forward-reachable segment incl. self — for cycle states this
+    converges to the cycle-wide min.
+
+    TPU note: 1-D random gathers are the cost here (~100M elem/s on v5e,
+    far below HBM bandwidth), so the loop gathers as few arrays as
+    possible (succ + one packed aggregate + one bool) and a while_loop
+    exits as soon as nothing changes — O(log max_chain) steps instead of
+    O(log n).
     """
     m = succ.shape[0]
-    steps = max(1, math.ceil(math.log2(m + 1)))
-    dist = jnp.where(succ >= 0, 1, 0).astype(jnp.int32)
-    mn = node
-    mo = orient
+    max_steps = max(1, math.ceil(math.log2(m + 1)))
 
-    def body(_, carry):
-        succ, dist, mn, mo = carry
+    def cond(carry):
+        _, _, _, changed, t = carry
+        return changed & (t < max_steps)
+
+    def body(carry):
+        succ, re, mn, _, t = carry
         sc = jnp.clip(succ, 0, m - 1)
         has = succ >= 0
-        mn2 = jnp.where(has, mn[sc], mn)
-        mo2 = jnp.where(has, mo[sc], mo)
-        take = mn2 < mn
-        mn_new = jnp.where(take, mn2, mn)
-        mo_new = jnp.where(take, mo2, mo)
-        dist_new = dist + jnp.where(has, dist[sc], 0)
+        re_new = re | (has & re[sc])
+        mn_new = jnp.where(has, jnp.minimum(mn, mn[sc]), mn)
         succ_new = jnp.where(has, succ[sc], succ)
-        return succ_new, dist_new, mn_new, mo_new
+        changed = jnp.any(re_new != re) | jnp.any(mn_new != mn)
+        return succ_new, re_new, mn_new, changed, t + 1
 
-    succ_f, dist_f, mn_f, mo_f = jax.lax.fori_loop(
-        0, steps, body, (succ, dist, mn, mo)
+    re0 = succ == -1
+    _, re, mn, _, _ = jax.lax.while_loop(
+        cond, body, (succ, re0, mnmo, jnp.bool_(True), 0)
     )
-    # after full doubling, path states have succ_f == -1; cycle states don't
-    return succ_f, dist_f, mn_f, mo_f
+    return re, mn
+
+
+def _rank_paths(succ, mnmo):
+    """Pointer-doubling pass 2 on an acyclic successor graph: one merged
+    loop produces (dist_to_end, mnmo_min, end_state) per state.
+
+    Exits once every pointer has resolved to -1 (all aggregates final) —
+    gathers 4 arrays per step vs the 6 of separate rank + end loops.
+    """
+    m = succ.shape[0]
+    max_steps = max(1, math.ceil(math.log2(m + 1)))
+    dist0 = jnp.where(succ >= 0, 1, 0).astype(jnp.int32)
+    end0 = jnp.where(succ == -1, jnp.arange(m, dtype=jnp.int32), -1)
+
+    def cond(carry):
+        succ, _, _, _, t = carry
+        return jnp.any(succ >= 0) & (t < max_steps)
+
+    def body(carry):
+        succ, dist, mn, end, t = carry
+        sc = jnp.clip(succ, 0, m - 1)
+        has = succ >= 0
+        mn_new = jnp.where(has, jnp.minimum(mn, mn[sc]), mn)
+        dist_new = dist + jnp.where(has, dist[sc], 0)
+        end_new = jnp.where(has, end[sc], end)
+        succ_new = jnp.where(has, succ[sc], succ)
+        return succ_new, dist_new, mn_new, end_new, t + 1
+
+    _, dist, mn, end, _ = jax.lax.while_loop(
+        cond, body, (succ, dist0, mnmo, end0, 0)
+    )
+    return dist, mn, end
 
 
 def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
@@ -227,22 +264,26 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
     orient = jnp.tile(jnp.arange(2, dtype=jnp.int32), n)
 
     succ = _succ_states(partner_l, partner_r, in_l, in_r, valid)
+    mnmo0 = (node << 1) | orient  # packed (min-node, orient): one gather
+    # lane carries both aggregates; within a chain node ids are unique, so
+    # packed min == (min node, orient at that node)
 
     # --- pass 1: find cycles and their min nodes; cut like the reference's
     # seed loop would (cycle consumed into one path ending at the min node
     # in stored orientation, compression.rs:450-479)
-    succ_f, _, mn_f, _ = _double(succ, node, orient)
-    is_cycle = succ_f >= 0
+    reached, mnmo_f = _find_cycles(succ, mnmo0)
+    is_cycle = ~reached
+    mn_f = mnmo_f >> 1
     cut_exit = is_cycle & (node == mn_f) & (orient == 0)
     # mirror edge: the state whose successor is (min node, orient 1)
-    succ_c = jnp.clip(succ, 0, m - 1)
-    target_is_min_flipped = is_cycle & (succ >= 0) & (node[succ_c] == mn_f) & (
-        orient[succ_c] == 1
-    )
+    target_is_min_flipped = is_cycle & (succ == 2 * mn_f + 1)
     succ = jnp.where(cut_exit | target_is_min_flipped, -1, succ)
 
-    # --- pass 2: real ranks on the cut graph
-    _, dist, mn, mo = _double(succ, node, orient)
+    # --- pass 2: real ranks on the cut graph, with the chain-end state
+    # propagated in the same loop
+    dist, mnmo, end_id = _rank_paths(succ, mnmo0)
+    mn = mnmo >> 1
+    mo = mnmo & 1
 
     # chain ends & starts
     is_end = (succ == -1) & jnp.repeat(valid, 2)
@@ -250,23 +291,6 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
         1, mode="drop"
     )
     is_start = (pred == 0) & jnp.repeat(valid, 2)
-
-    # end state of each state's chain: scatter via  dist steps? end =
-    # follow succ_f from pass... recompute: after doubling on the cut
-    # graph, each state's forward segment reaches the end; the end state is
-    # the unique state with succ=-1, found by propagating state ids.
-    end_id = jnp.where(succ == -1, jnp.arange(m, dtype=jnp.int32), -1)
-    steps = max(1, math.ceil(math.log2(m + 1)))
-
-    def body(_, carry):
-        succ_c, end_c = carry
-        sc = jnp.clip(succ_c, 0, m - 1)
-        has = succ_c >= 0
-        end_new = jnp.where(has, end_c[sc], end_c)
-        succ_new = jnp.where(has, succ_c[sc], succ_c)
-        return succ_new, end_new
-
-    _, end_id = jax.lax.fori_loop(0, steps, body, (succ, end_id))
 
     # --- emission: keep the traversal where the chain's min node is in
     # stored orientation.  Aggregates (mn, mo) at a start state cover the

@@ -438,9 +438,9 @@ def filter_kmers_set(
     table = KmerTable(
         spec=spec,
         stranded=stranded,
-        kmers=np.asarray(dev.kmers)[:n],
-        exts=np.asarray(dev.exts)[:n],
-        counts=np.asarray(dev.counts)[:n],
+        kmers=np.asarray(dev.kmers[:n]),
+        exts=np.asarray(dev.exts[:n]),
+        counts=np.asarray(dev.counts[:n]),
         data=np.zeros(n, np.int32),
     )
     return table, sets
@@ -863,13 +863,13 @@ def filter_kmers(
     table = KmerTable(
         spec=spec,
         stranded=stranded,
-        kmers=np.asarray(dev.kmers)[:n],
-        exts=np.asarray(dev.exts)[:n],
-        counts=np.asarray(dev.counts)[:n],
-        data=np.asarray(dev.data)[:n],
+        kmers=np.asarray(dev.kmers[:n]),
+        exts=np.asarray(dev.exts[:n]),
+        counts=np.asarray(dev.counts[:n]),
+        data=np.asarray(dev.data[:n]),
     )
     if report_all:
-        table.all_kmers = np.asarray(dev.all_kmers)[: int(dev.all_n)]
+        table.all_kmers = np.asarray(dev.all_kmers[: int(dev.all_n)])
     return table
 
 
@@ -898,7 +898,11 @@ def filter_kmers_streaming(
     derivable), ``chunk_reads`` is sized so the device working set stays
     under that bound.
 
-    ``seqs`` may be any iterable of (bases, seq_exts, label).
+    ``seqs`` may be any iterable of (bases, seq_exts, label).  Items
+    whose ``bases`` is 2-D are treated as pre-batched read blocks
+    ``(bases (m, L) uint8, lengths|None, seq_exts (m,)|scalar,
+    label (m,)|scalar)`` and bypass the per-read Python staging loop —
+    the fast path for high-volume streaming.
     """
     spec = KmerSpec(k)
     if memory_gb is not None and read_len_cap is not None:
@@ -910,6 +914,26 @@ def filter_kmers_streaming(
     cap = read_len_cap
     parts = []
     chunk: List = []
+
+    def run_device(arr, lengths, seq_exts, labels):
+        dev = _count_kmers_jit(
+            spec, stranded, 1, data_reduce, arr, lengths, seq_exts, labels
+        )
+        n = int(dev.n_valid)
+        log.debug(
+            "filter_kmers_streaming: chunk %d -> %d unique kmers", len(parts), n
+        )
+        # slice ON DEVICE before the host transfer: the padded table is
+        # rows*Lk slots but only n are live; pulling the full buffer over
+        # the TPU tunnel per chunk would dominate streaming wall time
+        parts.append(
+            (
+                np.asarray(dev.kmers[:n]),
+                np.asarray(dev.exts[:n]),
+                np.asarray(dev.counts[:n]),
+                np.asarray(dev.data[:n]),
+            )
+        )
 
     def flush(chunk):
         nonlocal cap
@@ -935,23 +959,50 @@ def filter_kmers_streaming(
             lengths[i] = len(s)
             seq_exts[i] = e
             labels[i] = d
-        dev = _count_kmers_jit(
-            spec, stranded, 1, data_reduce, arr, lengths, seq_exts, labels
-        )
-        n = int(dev.n_valid)
-        log.debug(
-            "filter_kmers_streaming: chunk %d -> %d unique kmers", len(parts), n
-        )
-        parts.append(
-            (
-                np.asarray(dev.kmers)[:n].copy(),
-                np.asarray(dev.exts)[:n].copy(),
-                np.asarray(dev.counts)[:n].copy(),
-                np.asarray(dev.data)[:n].copy(),
+        run_device(arr, lengths, seq_exts, labels)
+
+    def flush_block(item):
+        # pre-batched (m, L) block: no per-read staging loop
+        nonlocal cap
+        block = np.ascontiguousarray(item[0], dtype=np.uint8)
+        m, blen = block.shape
+        blens = item[3] if len(item) > 3 and item[3] is not None else None
+        if cap is None:
+            cap = -(-blen // 64) * 64
+        width = max(cap, k)
+        step = chunk_reads
+        for lo in range(0, m, step):
+            sub = block[lo : lo + step]
+            rows = 256
+            while rows < sub.shape[0]:
+                rows *= 2
+            rows = min(rows, chunk_reads)
+            arr = np.zeros((rows, width), np.uint8)
+            arr[: sub.shape[0], : min(blen, width)] = sub[:, :width]
+            lengths = np.zeros(rows, np.int32)
+            if blens is None:
+                lengths[: sub.shape[0]] = min(blen, width)
+            else:
+                lengths[: sub.shape[0]] = np.minimum(
+                    np.asarray(blens[lo : lo + step], np.int32), width
+                )
+            e, d = item[1], item[2]
+            seq_exts = np.zeros(rows, np.int32)
+            seq_exts[: sub.shape[0]] = (
+                np.asarray(e, np.int32)[lo : lo + step] if np.ndim(e) else e
             )
-        )
+            labels = np.zeros(rows, np.int32)
+            labels[: sub.shape[0]] = (
+                np.asarray(d, np.int32)[lo : lo + step] if np.ndim(d) else d
+            )
+            run_device(arr, lengths, seq_exts, labels)
 
     for item in seqs:
+        if np.ndim(item[0]) == 2:
+            flush(chunk)
+            chunk = []
+            flush_block(item)
+            continue
         if len(item[0]) < k:
             continue
         chunk.append(item)
