@@ -83,17 +83,19 @@ def _pmer_rc_ranks(s: np.ndarray, p: int) -> np.ndarray:
 
 
 # the reference's sweep range (msp.rs:488-542): k=16..64 x
-# p in {5,8,10,12,14,15,16} x {identity, random permutation} scores.
-# A covering design rather than the full product: every k and every p
-# appears, both score functions do, and each cell runs 20 reps — one XLA
-# compile per cell keeps the cold-cache suite time bounded.
-SWEEP = [
-    ("identity", 16, 5), ("identity", 16, 16), ("identity", 24, 8),
-    ("identity", 32, 10), ("identity", 32, 16), ("identity", 48, 12),
-    ("identity", 48, 15), ("identity", 64, 5), ("identity", 64, 14),
-    ("identity", 64, 16),
-    ("perm", 16, 8), ("perm", 32, 12), ("perm", 48, 5), ("perm", 64, 10),
-]
+# p in {5,8,10,12,14,15,16} x {lexicographic, at_count} scores.  The
+# identity score runs the FULL k x p cross product; the permutation and
+# at_count-analog scores are table-driven in this engine (score[rank]),
+# so their p range is capped by table size (4^p entries: p <= 12 for
+# perm, p <= 10 for at_count).  Each cell runs >= 10 reps with one XLA
+# compile per cell.
+_KSWEEP = (16, 24, 32, 48, 64)
+_PSWEEP = (5, 8, 10, 12, 14, 15, 16)
+SWEEP = (
+    [("identity", k, p) for k in _KSWEEP for p in _PSWEEP]
+    + [("perm", k, p) for k in _KSWEEP for p in _PSWEEP if p <= 12]
+    + [("at_count", k, p) for k in _KSWEEP for p in (5, 8, 10)]
+)
 
 
 @pytest.mark.parametrize("score,k,p", SWEEP)
@@ -111,10 +113,17 @@ def test_msp_invariants_sweep(rng, k, p, score):
     reps = 20
     perm = None
     if score == "perm":
-        if p > 12:
-            pytest.skip("permutation table too large for p > 12 "
-                        "(engine caps permutation scoring at p <= 15)")
         perm = rng.permutation(4 ** p).astype(np.int64)
+    elif score == "at_count":
+        # at_count-analog score fn (msp.rs:488-542's second score): heavy
+        # ties exercise the rightmost tie-break + the mid-window
+        # strictly-smaller adoption rule
+        r = np.arange(4 ** p, dtype=np.int64)
+        t = np.zeros(4 ** p, np.int64)
+        for j in range(p):
+            b = (r >> (2 * j)) & 3
+            t += ((b == 0) | (b == 3)).astype(np.int64)
+        perm = t
     L = 3 * k  # one padded shape per cell -> one compile
     seqs = [rng.integers(0, 4, L).astype(np.uint8) for _ in range(reps)]
     outs = M.msp_sequences(

@@ -149,19 +149,23 @@ def sort_observations(spec: KmerSpec, kf, ef, lab, vf):
 
     Returns (slimbs: list of W key arrays, svalid, sexts, slab).
 
-    Two HBM-traffic optimizations over a naive variadic sort (the sort is
+    HBM-traffic optimizations over a naive variadic sort (the sort is
     the pipeline's dominant cost; TPU's comparator sort moves EVERY array
     through every pass, so each dropped array cuts traffic ~1/rows):
 
     * when the kmer's top limb has spare pad bits (k not a multiple of
       16), the validity flag rides in limb 0's top bit instead of a
       dedicated key array — invalid slots sort after all valid kmers;
-    * exts and labels travel as ONE int32 row-index payload and are
-      gathered after the sort (two cheap single-pass gathers instead of
-      two full sort payloads).
+    * the extension byte and the row index travel as ONE packed int32
+      payload ``(idx << 8) | exts`` (works for n < 2**23 observation
+      slots), so only the label needs a post-sort gather.
     """
     n = kf.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
+    if n < (1 << 23):
+        pay = (idx << 8) | (ef & 0xFF)
+    else:
+        pay = None
     if spec.pad >= 1:
         flag = jnp.where(vf, np.uint32(0), np.uint32(1 << 31))
         keys = [kf[:, 0] | flag] + [kf[:, i] for i in range(1, spec.w)]
@@ -169,17 +173,24 @@ def sort_observations(spec: KmerSpec, kf, ef, lab, vf):
     else:
         keys = [(~vf).astype(jnp.uint32)] + S.limbs_to_keys(kf)
         nflag = 1
-    out = jax.lax.sort(keys + [idx], num_keys=len(keys), is_stable=True)
-    sidx = out[-1]
+    payload = [pay] if pay is not None else [idx, ef]
+    out = jax.lax.sort(keys + payload, num_keys=len(keys), is_stable=True)
+    if pay is not None:
+        spay = out[-1]
+        sidx = spay >> 8
+        sexts = spay & 0xFF
+    else:
+        sidx, sexts = out[-2], out[-1]
+    nk = len(keys)
     if nflag:
         svalid = out[0] == 0
-        slimbs = list(out[1:-1])
+        slimbs = list(out[1:nk])
     else:
         svalid = (out[0] >> np.uint32(31)) == 0
-        slimbs = list(out[:-1])
+        slimbs = list(out[:nk])
         # top bit only set on invalid slots, which sort past every valid
         # row and are masked by svalid everywhere downstream
-    return slimbs, svalid, ef[sidx], lab[sidx]
+    return slimbs, svalid, sexts, lab[sidx]
 
 
 @dataclasses.dataclass
@@ -220,6 +231,7 @@ def count_kmers(
     min_obs: int,
     data_reduce: str = "label_first",
     fused_frontend: bool = False,
+    report_all: bool = True,
 ) -> KmerTableDev:
     """The filter_kmers pipeline body (jit-friendly; static shapes).
 
@@ -228,6 +240,9 @@ def count_kmers(
       'min' / 'max' / 'sum'.
     fused_frontend: run pack+extract+canonicalize as the single Pallas
       VMEM pass (kernels/extract_canonical.py) instead of the XLA ladder.
+    report_all: also build the unique-kmer census (``all_kmers``), needed
+      for sharded censored-ext repair (filter.rs:238-276); skipping it
+      (False) drops one full-width partition sort from the pipeline.
     """
     if fused_frontend:
         from tpu_debruijn.kernels.extract_canonical import extract_canonical_fused
@@ -251,33 +266,39 @@ def count_kmers(
     slimbs, svalid, sexts, slab = sort_observations(spec, kf, ef, lab, vf)
     starts = S.run_starts(slimbs, svalid)
 
-    # scatter-free segmented reductions: XLA lowers scatters poorly on TPU
-    # (~300us each at n=266k vs ~40us for a sort), so all grouping work is
-    # done with segmented scans over the sorted runs + stable partitions.
+    # scatter-free segmented reductions: XLA lowers scatters poorly on TPU,
+    # so all grouping work is done with scans over the sorted runs + stable
+    # partitions.  Per-run aggregates are anchored at the run START (via
+    # suffix scans seeded at run ends), so ONE partition by the pass mask
+    # yields the whole table:
+    #   * run length = next-boundary position - own position, from a single
+    #     suffix-min scan (runs are contiguous among valid rows);
+    #   * exts OR / label fold = suffix segmented scans.
     pos = jnp.arange(n, dtype=jnp.int32)
     nxt_boundary = jnp.concatenate(
         [starts[1:] | ~svalid[1:], jnp.ones(1, bool)]
     )
     is_end = svalid & nxt_boundary
 
-    or_scan = S.seg_or_scan(sexts, starts)
-    carry = [pos, or_scan]
+    bnd = starts | ~svalid
+    t = jnp.where(bnd, pos, n)
+    suf_min = jax.lax.associative_scan(jnp.minimum, t[::-1])[::-1]
+    nxt_after = jnp.concatenate([suf_min[1:], jnp.full(1, n, jnp.int32)])
+
+    rev_end = is_end[::-1]
+    or_total = S.seg_or_scan(sexts[::-1], rev_end)[::-1]
     if data_reduce == "label_first":
         lab_red = slab  # stable sort keeps first occurrence at run start
     elif data_reduce == "min":
-        carry.append(S.seg_op_scan(slab, starts, jnp.minimum))
+        lab_red = S.seg_op_scan(slab[::-1], rev_end, jnp.minimum)[::-1]
     elif data_reduce == "max":
-        carry.append(S.seg_op_scan(slab, starts, jnp.maximum))
+        lab_red = S.seg_op_scan(slab[::-1], rev_end, jnp.maximum)[::-1]
     elif data_reduce == "sum":
-        carry.append(S.seg_op_scan(slab, starts, lambda a, b: a + b))
+        lab_red = S.seg_op_scan(slab[::-1], rev_end, lambda a, b: a + b)[::-1]
     else:
         raise ValueError(data_reduce)
-    ends = S.seg_last_scan(tuple(carry), is_end)
-    end_pos, or_total = ends[0], ends[1]
-    if data_reduce != "label_first":
-        lab_red = ends[2]
 
-    counts = jnp.minimum(end_pos - pos + 1, 65535)
+    counts = jnp.minimum(nxt_after - pos, 65535)
     passes = starts & (counts >= min_obs)
     n_valid, vout = S.partition(
         passes, list(slimbs) + [or_total, counts, lab_red]
@@ -285,8 +306,12 @@ def count_kmers(
     vkmers = S.keys_to_limbs(vout[: spec.w])
     vexts, vcounts, vdata = vout[spec.w], vout[spec.w + 1], vout[spec.w + 2]
 
-    n_unique, aout = S.partition(starts, list(slimbs))
-    ukmers = S.keys_to_limbs(aout)
+    if report_all:
+        n_unique, aout = S.partition(starts, list(slimbs))
+        ukmers = S.keys_to_limbs(aout)
+    else:
+        n_unique = starts.sum().astype(jnp.int32)
+        ukmers = None
 
     return KmerTableDev(
         spec=spec,
@@ -856,7 +881,8 @@ def filter_kmers(
         len(items), bases.shape, k, stranded, min_obs,
     )
     dev = _count_kmers_jit(
-        spec, stranded, min_obs, data_reduce, bases, lengths, seq_exts, labels
+        spec, stranded, min_obs, data_reduce, report_all,
+        bases, lengths, seq_exts, labels
     )
     n = int(dev.n_valid)
     log.debug("filter_kmers: %d valid kmers (census %d)", n, int(dev.all_n))
@@ -900,9 +926,11 @@ def filter_kmers_streaming(
 
     ``seqs`` may be any iterable of (bases, seq_exts, label).  Items
     whose ``bases`` is 2-D are treated as pre-batched read blocks
-    ``(bases (m, L) uint8, lengths|None, seq_exts (m,)|scalar,
-    label (m,)|scalar)`` and bypass the per-read Python staging loop —
-    the fast path for high-volume streaming.
+    ``(bases (m, L) uint8, seq_exts (m,)|scalar, label (m,)|scalar
+    [, lengths (m,)|None])`` — note seq_exts/label come BEFORE the
+    optional lengths, mirroring the per-read tuple order — and bypass
+    the per-read Python staging loop — the fast path for high-volume
+    streaming.
     """
     spec = KmerSpec(k)
     if memory_gb is not None and read_len_cap is not None:
@@ -917,7 +945,7 @@ def filter_kmers_streaming(
 
     def run_device(arr, lengths, seq_exts, labels):
         dev = _count_kmers_jit(
-            spec, stranded, 1, data_reduce, arr, lengths, seq_exts, labels
+            spec, stranded, 1, data_reduce, False, arr, lengths, seq_exts, labels
         )
         n = int(dev.n_valid)
         log.debug(
@@ -925,13 +953,20 @@ def filter_kmers_streaming(
         )
         # slice ON DEVICE before the host transfer: the padded table is
         # rows*Lk slots but only n are live; pulling the full buffer over
-        # the TPU tunnel per chunk would dominate streaming wall time
+        # the TPU tunnel per chunk would dominate streaming wall time.
+        # The slice length is rounded up to a power of two (then trimmed on
+        # host) so the per-chunk slice program has at most log2 distinct
+        # shapes instead of one compile per chunk.
+        nb = 256
+        while nb < n:
+            nb *= 2
+        nb = min(nb, dev.kmers.shape[0])
         parts.append(
             (
-                np.asarray(dev.kmers[:n]),
-                np.asarray(dev.exts[:n]),
-                np.asarray(dev.counts[:n]),
-                np.asarray(dev.data[:n]),
+                np.asarray(dev.kmers[:nb])[:n],
+                np.asarray(dev.exts[:nb])[:n],
+                np.asarray(dev.counts[:nb])[:n],
+                np.asarray(dev.data[:nb])[:n],
             )
         )
 
@@ -939,8 +974,17 @@ def filter_kmers_streaming(
         nonlocal cap
         if not chunk:
             return
-        if cap is None:
-            cap = -(-max(len(s[0]) for s in chunk) // 64) * 64
+        # grow cap (recompiling) if this chunk holds a wider read than any
+        # seen so far — never silently truncate (64-base rounding bounds
+        # distinct compile shapes)
+        need = -(-max(len(s[0]) for s in chunk) // 64) * 64
+        if cap is None or need > cap:
+            if cap is not None:
+                log.warning(
+                    "filter_kmers_streaming: read wider than previous cap "
+                    "(%d > %d); growing (recompiles)", need, cap,
+                )
+            cap = need
         # pad rows to a power of two, not the full memory-budget chunk:
         # a small final (or only) chunk must not inflate to chunk_reads
         # rows (a 4GB budget implies ~1M rows — pathological for tiny
@@ -967,8 +1011,14 @@ def filter_kmers_streaming(
         block = np.ascontiguousarray(item[0], dtype=np.uint8)
         m, blen = block.shape
         blens = item[3] if len(item) > 3 and item[3] is not None else None
-        if cap is None:
-            cap = -(-blen // 64) * 64
+        need = -(-blen // 64) * 64
+        if cap is None or need > cap:
+            if cap is not None:
+                log.warning(
+                    "filter_kmers_streaming: block wider than previous cap "
+                    "(%d > %d); growing (recompiles)", need, cap,
+                )
+            cap = need
         width = max(cap, k)
         step = chunk_reads
         for lo in range(0, m, step):
@@ -1052,8 +1102,9 @@ def filter_kmers_streaming(
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _count_kmers_jit(spec, stranded, min_obs, data_reduce, bases, lengths, seq_exts, labels):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _count_kmers_jit(spec, stranded, min_obs, data_reduce, report_all,
+                     bases, lengths, seq_exts, labels):
     return count_kmers(
         spec,
         bases,
@@ -1063,4 +1114,5 @@ def _count_kmers_jit(spec, stranded, min_obs, data_reduce, bases, lengths, seq_e
         stranded=stranded,
         min_obs=min_obs,
         data_reduce=data_reduce,
+        report_all=report_all,
     )
