@@ -75,8 +75,12 @@ def resolve_edges(
     else:
         pal_self = jnp.zeros(n, bool)
 
-    partners = {}
-    ins = {}
+    # candidate target kmers for BOTH directions, resolved by one batched
+    # sort-join (2n queries against the n-row table) instead of per-query
+    # binary search; the join also returns the target's exts byte so no
+    # post-join gather is needed (compression.rs:410-422 semantics)
+    cands = []
+    meta = {}
     for d in (LEFT, RIGHT):
         uniq, base = E.unique_extension(exts, d)
         cand = (
@@ -90,14 +94,25 @@ def resolve_edges(
         else:
             flip = jnp.zeros(n, bool)
             pal_next = jnp.zeros(n, bool)
+        cands.append(cand)
+        meta[d] = (uniq, flip, pal_next)
 
-        j, found = S.searchsorted_limbs(kmers, cand, n_valid)
+    queries = jnp.concatenate(cands, axis=0)  # (2n, W)
+    jj, ffound, jexts = S.sort_join_limbs(kmers, n_valid, queries, exts)
+
+    partners = {}
+    ins = {}
+    for d in (LEFT, RIGHT):
+        uniq, flip, pal_next = meta[d]
+        j = jj[d * n : (d + 1) * n]
+        found = ffound[d * n : (d + 1) * n]
+        texts = jexts[d * n : (d + 1) * n]
         j = jnp.where(found, j, -1)
         jc = jnp.clip(j, 0, n - 1)
 
         # side of the target the edge comes in on (compression.rs:419)
         in_d = jnp.where(flip, d, 1 - d).astype(jnp.int32)
-        incoming_cnt = E.num_ext_dir(exts[jc], in_d)
+        incoming_cnt = E.num_ext_dir(texts, in_d)
 
         ok = (
             valid
@@ -113,12 +128,15 @@ def resolve_edges(
         partners[d] = jnp.where(ok, j, -1)
         ins[d] = in_d
 
-    # enforce mutuality: the reverse half-edge must point back at us
+    # enforce mutuality: the reverse half-edge must point back at us.
+    # Both directions' partner arrays ride one (n, 2) row gather.
+    pmat = jnp.stack([partners[LEFT], partners[RIGHT]], axis=1)
     out = {}
     for d in (LEFT, RIGHT):
         j = partners[d]
         jc = jnp.clip(j, 0, n - 1)
-        rev = jnp.where(ins[d] == LEFT, partners[LEFT][jc], partners[RIGHT][jc])
+        rp = pmat[jc]  # (n, 2)
+        rev = jnp.where(ins[d] == LEFT, rp[:, 0], rp[:, 1])
         ok = (j >= 0) & (rev == idx_self)
         out[d] = (jnp.where(ok, j, -1), ins[d])
     return {
@@ -182,74 +200,47 @@ def _succ_states(partner_l, partner_r, in_l, in_r, valid):
     return jnp.where(svalid, succ, -1)
 
 
-def _find_cycles(succ, mnmo):
-    """Pointer-doubling pass 1: returns (reached_end, mnmo_fwd_min).
+def _rank_all(succ, mnmo):
+    """Pointer-doubling list ranking: (succ_final, dist_to_end, mnmo_min,
+    end_state) per state, in one while_loop.
 
-    ``reached_end[s]``: some forward step from s hits a chain end (so s is
-    on a path, not a cycle).  ``mnmo_fwd_min``: min packed (node<<1|orient)
-    over the forward-reachable segment incl. self — for cycle states this
-    converges to the cycle-wide min.
+    TPU note: random gathers are the cost here (~9ms per 1M 1-D index
+    gather on v5e, far below HBM bandwidth, and per-INDEX not per-byte),
+    so the whole carry is packed into ONE (m, 4) int32 matrix and each
+    round does a single row gather instead of four scalar gathers.  The
+    loop exits as soon as every pointer resolves (acyclic input:
+    O(log max_chain) rounds); with cycles present it runs the full
+    log2(m) rounds, by which point the min aggregate has swept every
+    cycle (window 2^t >= m >= cycle length).
 
-    TPU note: 1-D random gathers are the cost here (~100M elem/s on v5e,
-    far below HBM bandwidth), so the loop gathers as few arrays as
-    possible (succ + one packed aggregate + one bool) and a while_loop
-    exits as soon as nothing changes — O(log max_chain) steps instead of
-    O(log n).
-    """
-    m = succ.shape[0]
-    max_steps = max(1, math.ceil(math.log2(m + 1)))
-
-    def cond(carry):
-        _, _, _, changed, t = carry
-        return changed & (t < max_steps)
-
-    def body(carry):
-        succ, re, mn, _, t = carry
-        sc = jnp.clip(succ, 0, m - 1)
-        has = succ >= 0
-        re_new = re | (has & re[sc])
-        mn_new = jnp.where(has, jnp.minimum(mn, mn[sc]), mn)
-        succ_new = jnp.where(has, succ[sc], succ)
-        changed = jnp.any(re_new != re) | jnp.any(mn_new != mn)
-        return succ_new, re_new, mn_new, changed, t + 1
-
-    re0 = succ == -1
-    _, re, mn, _, _ = jax.lax.while_loop(
-        cond, body, (succ, re0, mnmo, jnp.bool_(True), 0)
-    )
-    return re, mn
-
-
-def _rank_paths(succ, mnmo):
-    """Pointer-doubling pass 2 on an acyclic successor graph: one merged
-    loop produces (dist_to_end, mnmo_min, end_state) per state.
-
-    Exits once every pointer has resolved to -1 (all aggregates final) —
-    gathers 4 arrays per step vs the 6 of separate rank + end loops.
+    For cycle states dist/end are garbage (unbounded doubling / never
+    resolved) — callers must detect them via succ_final >= 0 and re-rank
+    on the cut graph.
     """
     m = succ.shape[0]
     max_steps = max(1, math.ceil(math.log2(m + 1)))
     dist0 = jnp.where(succ >= 0, 1, 0).astype(jnp.int32)
     end0 = jnp.where(succ == -1, jnp.arange(m, dtype=jnp.int32), -1)
+    x0 = jnp.stack([succ, dist0, mnmo, end0], axis=1)
 
     def cond(carry):
-        succ, _, _, _, t = carry
-        return jnp.any(succ >= 0) & (t < max_steps)
+        x, t = carry
+        return jnp.any(x[:, 0] >= 0) & (t < max_steps)
 
     def body(carry):
-        succ, dist, mn, end, t = carry
+        x, t = carry
+        succ = x[:, 0]
         sc = jnp.clip(succ, 0, m - 1)
+        g = x[sc]  # ONE row gather for all four aggregates
         has = succ >= 0
-        mn_new = jnp.where(has, jnp.minimum(mn, mn[sc]), mn)
-        dist_new = dist + jnp.where(has, dist[sc], 0)
-        end_new = jnp.where(has, end[sc], end)
-        succ_new = jnp.where(has, succ[sc], succ)
-        return succ_new, dist_new, mn_new, end_new, t + 1
+        succ_new = jnp.where(has, g[:, 0], succ)
+        dist_new = x[:, 1] + jnp.where(has, g[:, 1], 0)
+        mn_new = jnp.where(has, jnp.minimum(x[:, 2], g[:, 2]), x[:, 2])
+        end_new = jnp.where(has, g[:, 3], x[:, 3])
+        return jnp.stack([succ_new, dist_new, mn_new, end_new], axis=1), t + 1
 
-    _, dist, mn, end, _ = jax.lax.while_loop(
-        cond, body, (succ, dist0, mnmo, end0, 0)
-    )
-    return dist, mn, end
+    x, _ = jax.lax.while_loop(cond, body, (x0, 0))
+    return x[:, 0], x[:, 1], x[:, 2], x[:, 3]
 
 
 def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
@@ -263,85 +254,98 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
     node = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 2)
     orient = jnp.tile(jnp.arange(2, dtype=jnp.int32), n)
 
-    succ = _succ_states(partner_l, partner_r, in_l, in_r, valid)
-    mnmo0 = (node << 1) | orient  # packed (min-node, orient): one gather
-    # lane carries both aggregates; within a chain node ids are unique, so
+    succ0 = _succ_states(partner_l, partner_r, in_l, in_r, valid)
+    mnmo0 = (node << 1) | orient  # packed (min-node, orient): one lane
+    # carries both aggregates; within a chain node ids are unique, so
     # packed min == (min node, orient at that node)
 
-    # --- pass 1: find cycles and their min nodes; cut like the reference's
-    # seed loop would (cycle consumed into one path ending at the min node
-    # in stored orientation, compression.rs:450-479)
-    reached, mnmo_f = _find_cycles(succ, mnmo0)
-    is_cycle = ~reached
-    mn_f = mnmo_f >> 1
+    # --- single merged ranking pass; path states resolve fully, cycle
+    # states are detected afterwards by their unresolved pointer
+    succ_f, dist, mnmo, end_id = _rank_all(succ0, mnmo0)
+    is_cycle = succ_f >= 0
+
+    # --- cycles (rare): cut like the reference's seed loop would (cycle
+    # consumed into one path ending at the min node in stored orientation,
+    # compression.rs:450-479) and re-rank — only executed when a cycle
+    # exists (lax.cond), so acyclic graphs pay exactly one doubling loop
+    mn_f = mnmo >> 1  # for cycle states: cycle-wide min (full sweep)
     cut_exit = is_cycle & (node == mn_f) & (orient == 0)
     # mirror edge: the state whose successor is (min node, orient 1)
-    target_is_min_flipped = is_cycle & (succ == 2 * mn_f + 1)
-    succ = jnp.where(cut_exit | target_is_min_flipped, -1, succ)
+    target_is_min_flipped = is_cycle & (succ0 == 2 * mn_f + 1)
 
-    # --- pass 2: real ranks on the cut graph, with the chain-end state
-    # propagated in the same loop
-    dist, mnmo, end_id = _rank_paths(succ, mnmo0)
+    cut_mask = cut_exit | target_is_min_flipped
+
+    def rerank_with_cuts(_):
+        succ_cut = jnp.where(cut_mask, -1, succ0)
+        _, d, mm, e = _rank_all(succ_cut, mnmo0)
+        # states a cut edge pointed INTO become chain starts
+        extra = jnp.zeros(m, bool).at[
+            jnp.where(cut_mask, jnp.clip(succ0, 0, m - 1), m)
+        ].set(True, mode="drop")
+        return d, mm, e, extra
+
+    dist, mnmo, end_id, extra_starts = jax.lax.cond(
+        jnp.any(is_cycle),
+        rerank_with_cuts,
+        lambda _: (dist, mnmo, end_id, jnp.zeros(m, bool)),
+        None,
+    )
+    succ = jnp.where(cut_mask, -1, succ0)
     mn = mnmo >> 1
     mo = mnmo & 1
 
-    # chain ends & starts
-    is_end = (succ == -1) & jnp.repeat(valid, 2)
-    pred = jnp.zeros(m, jnp.int32).at[jnp.where(succ >= 0, succ, m)].add(
-        1, mode="drop"
-    )
-    is_start = (pred == 0) & jnp.repeat(valid, 2)
+    # chain starts: a state has no predecessor iff its ENTRY-side partner
+    # is absent — mutual edges make this purely elementwise (no in-degree
+    # scatter): state (i, 0) is entered via stored LEFT, (i, 1) via RIGHT.
+    # Cut cycle edges add their former targets as starts (extra_starts).
+    no_pred = jnp.stack([partner_l < 0, partner_r < 0], axis=1).reshape(m)
+    is_start = (no_pred | extra_starts) & jnp.repeat(valid, 2)
 
     # --- emission: keep the traversal where the chain's min node is in
     # stored orientation.  Aggregates (mn, mo) at a start state cover the
     # whole chain.
     emit_start = is_start & (mo == 0)
-
-    # unitig ids in increasing chain-min-node order (reference seed order)
-    sort_key = jnp.where(emit_start, mn, jnp.int32(n))
-    order = jnp.argsort(sort_key, stable=True)
-    rank = jnp.zeros(m, jnp.int32).at[order].set(jnp.arange(m, dtype=jnp.int32))
     n_unitigs = emit_start.sum().astype(jnp.int32)
 
-    # broadcast the start's uid to the chain via its end state
-    uid_of_end = jnp.full(m, -1, jnp.int32)
-    uid_of_end = uid_of_end.at[jnp.where(emit_start, end_id, m)].set(
-        jnp.where(emit_start, rank, -1), mode="drop"
+    # ONE stable sort compacts emitted chains into uid order (increasing
+    # chain-min-node — the reference's seed order, compression.rs:574):
+    # row u < n_unitigs of the sorted payloads IS unitig u, so unitig
+    # metadata needs no scatters at all; chain-wide labels then flow
+    # through a single packed row-scatter/row-gather via the end state.
+    sort_key = jnp.where(emit_start, mn, jnp.int32(n))
+    skey, (c_end, c_node, c_orient, c_dist) = S.sort_with_payload(
+        [sort_key], [end_id, node, orient, dist]
     )
-    uid_state = uid_of_end[jnp.clip(end_id, 0, m - 1)]
-    uid_state = jnp.where(end_id >= 0, uid_state, -1)
+    # Chains contract: per-unitig arrays are (n,)-sized, slot u < n_unitigs
+    length_m = c_dist + 1  # full (m,) view, used by the end-state scatter
+    length_u = length_m[:n]
+    first_item = c_node[:n]
+    first_flip = c_orient[:n]
+    last_item = (jnp.clip(c_end, 0, m - 1) >> 1)[:n]
+    last_flip = (c_end & 1)[:n]
 
-    emitted = uid_state >= 0
-    # chain length & position: dist counts steps to end
-    len_of_end = jnp.zeros(m, jnp.int32).at[
-        jnp.where(emit_start, end_id, m)
-    ].set(dist + 1, mode="drop")
-    chain_len = len_of_end[jnp.clip(end_id, 0, m - 1)]
+    # uid + chain length at each chain's END state (one packed scatter),
+    # then every state reads them through its own end_id (one row gather)
+    uidx = jnp.arange(m, dtype=jnp.int32)
+    live = uidx < n_unitigs
+    tbl = jnp.full((m, 2), -1, jnp.int32)
+    tbl = tbl.at[jnp.where(live, jnp.clip(c_end, 0, m - 1), m)].set(
+        jnp.stack([uidx, length_m], axis=1), mode="drop"
+    )
+    g = tbl[jnp.clip(end_id, 0, m - 1)]
+    uid_state = jnp.where(end_id >= 0, g[:, 0], -1)
+    chain_len = g[:, 1]
     pos_state = chain_len - 1 - dist
 
+    emitted = uid_state >= 0
     # per-item results: each item has exactly one emitted state
-    uid_pair = uid_state.reshape(n, 2)
     emit_pair = emitted.reshape(n, 2)
     pick = jnp.where(emit_pair[:, 0], 0, 1)  # which orientation is emitted
-    take = lambda a: a.reshape(n, 2)[jnp.arange(n), pick]
+    pick_b = emit_pair[:, 0]
+    take = lambda a: jnp.where(pick_b, a.reshape(n, 2)[:, 0], a.reshape(n, 2)[:, 1])
     uid = jnp.where(valid & (emit_pair[:, 0] | emit_pair[:, 1]), take(uid_state), -1)
     pos = take(pos_state)
     flip = pick.astype(bool)
-
-    # per-unitig endpoints
-    length_u = jnp.zeros(n, jnp.int32)
-    first_item = jnp.zeros(n, jnp.int32)
-    last_item = jnp.zeros(n, jnp.int32)
-    first_flip = jnp.zeros(n, jnp.int32)
-    last_flip = jnp.zeros(n, jnp.int32)
-    su = jnp.where(emit_start, uid_state, -1)
-    length_u = length_u.at[jnp.where(emit_start, su, n)].set(dist + 1, mode="drop")
-    first_item = first_item.at[jnp.where(emit_start, su, n)].set(node, mode="drop")
-    first_flip = first_flip.at[jnp.where(emit_start, su, n)].set(orient, mode="drop")
-    at_end = emitted & is_end
-    eu = jnp.where(at_end, uid_state, -1)
-    last_item = last_item.at[jnp.where(at_end, eu, n)].set(node, mode="drop")
-    last_flip = last_flip.at[jnp.where(at_end, eu, n)].set(orient, mode="drop")
 
     return Chains(
         uid=uid,

@@ -144,28 +144,27 @@ def canonicalize(spec: KmerSpec, kmers, exts, stranded: bool, use_pallas: bool =
     return ck, cexts, flip
 
 
-def sort_observations(spec: KmerSpec, kf, ef, lab, vf):
+def sort_observations(spec: KmerSpec, kf, ef, lab, vf, stable: bool = True):
     """Sort kmer observations by (validity, kmer), carrying exts + labels.
 
-    Returns (slimbs: list of W key arrays, svalid, sexts, slab).
+    Returns (slimbs: list of W key arrays, svalid, sexts, slab); ``lab``
+    may be None (label-free pipelines), then slab is None.  ``stable``
+    may be False when within-run payload order is immaterial (every
+    reduction except 'label_first' is order-independent) — the unstable
+    TPU sort is ~2x faster.
 
     HBM-traffic optimizations over a naive variadic sort (the sort is
     the pipeline's dominant cost; TPU's comparator sort moves EVERY array
-    through every pass, so each dropped array cuts traffic ~1/rows):
+    through every pass, so each dropped array cuts traffic ~1/rows — and
+    post-sort random gathers are even worse: a 1M-row index gather costs
+    ~4x the whole 3-array sort on v5e, so everything rides the sort):
 
     * when the kmer's top limb has spare pad bits (k not a multiple of
       16), the validity flag rides in limb 0's top bit instead of a
       dedicated key array — invalid slots sort after all valid kmers;
-    * the extension byte and the row index travel as ONE packed int32
-      payload ``(idx << 8) | exts`` (works for n < 2**23 observation
-      slots), so only the label needs a post-sort gather.
+    * exts (and the label, when present) are sort payloads — no row-index
+      payload and no post-sort gathers at all.
     """
-    n = kf.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    if n < (1 << 23):
-        pay = (idx << 8) | (ef & 0xFF)
-    else:
-        pay = None
     if spec.pad >= 1:
         flag = jnp.where(vf, np.uint32(0), np.uint32(1 << 31))
         keys = [kf[:, 0] | flag] + [kf[:, i] for i in range(1, spec.w)]
@@ -173,15 +172,11 @@ def sort_observations(spec: KmerSpec, kf, ef, lab, vf):
     else:
         keys = [(~vf).astype(jnp.uint32)] + S.limbs_to_keys(kf)
         nflag = 1
-    payload = [pay] if pay is not None else [idx, ef]
-    out = jax.lax.sort(keys + payload, num_keys=len(keys), is_stable=True)
-    if pay is not None:
-        spay = out[-1]
-        sidx = spay >> 8
-        sexts = spay & 0xFF
-    else:
-        sidx, sexts = out[-2], out[-1]
+    payload = [ef] + ([] if lab is None else [lab])
+    out = jax.lax.sort(keys + payload, num_keys=len(keys), is_stable=stable)
     nk = len(keys)
+    sexts = out[nk]
+    slab = out[nk + 1] if lab is not None else None
     if nflag:
         svalid = out[0] == 0
         slimbs = list(out[1:nk])
@@ -190,7 +185,7 @@ def sort_observations(spec: KmerSpec, kf, ef, lab, vf):
         slimbs = list(out[:nk])
         # top bit only set on invalid slots, which sort past every valid
         # row and are masked by svalid everywhere downstream
-    return slimbs, svalid, sexts, lab[sidx]
+    return slimbs, svalid, sexts, slab
 
 
 @dataclasses.dataclass
@@ -237,7 +232,10 @@ def count_kmers(
 
     data_reduce: how to fold per-observation labels per kmer —
       'label_first' (keep any one; CountFilter ignores data),
-      'min' / 'max' / 'sum'.
+      'min' / 'max' / 'sum', or 'none' (labels are not plumbed at all and
+      ``data`` comes back zero — drops one sort payload + one partition
+      payload; the fast path when, like the reference's plain CountFilter,
+      per-kmer data is just the count, filter.rs:40-63).
     fused_frontend: run pack+extract+canonicalize as the single Pallas
       VMEM pass (kernels/extract_canonical.py) instead of the XLA ladder.
     report_all: also build the unique-kmer census (``all_kmers``), needed
@@ -259,11 +257,16 @@ def count_kmers(
     kf = kmers.reshape(n, w)
     ef = exts.reshape(n)
     vf = valid.reshape(n)
-    lab = jnp.broadcast_to(
-        jnp.asarray(labels, jnp.int32)[:, None], valid.shape
-    ).reshape(n)
+    if data_reduce == "none":
+        lab = None
+    else:
+        lab = jnp.broadcast_to(
+            jnp.asarray(labels, jnp.int32)[:, None], valid.shape
+        ).reshape(n)
 
-    slimbs, svalid, sexts, slab = sort_observations(spec, kf, ef, lab, vf)
+    slimbs, svalid, sexts, slab = sort_observations(
+        spec, kf, ef, lab, vf, stable=(data_reduce == "label_first")
+    )
     starts = S.run_starts(slimbs, svalid)
 
     # scatter-free segmented reductions: XLA lowers scatters poorly on TPU,
@@ -273,7 +276,9 @@ def count_kmers(
     # yields the whole table:
     #   * run length = next-boundary position - own position, from a single
     #     suffix-min scan (runs are contiguous among valid rows);
-    #   * exts OR / label fold = suffix segmented scans.
+    #   * exts OR = a packed single-int32 suffix scan;
+    #   * 16-bit count + 8-bit exts ride the partition as ONE packed
+    #     payload lane.
     pos = jnp.arange(n, dtype=jnp.int32)
     nxt_boundary = jnp.concatenate(
         [starts[1:] | ~svalid[1:], jnp.ones(1, bool)]
@@ -285,26 +290,29 @@ def count_kmers(
     suf_min = jax.lax.associative_scan(jnp.minimum, t[::-1])[::-1]
     nxt_after = jnp.concatenate([suf_min[1:], jnp.full(1, n, jnp.int32)])
 
-    rev_end = is_end[::-1]
-    or_total = S.seg_or_scan(sexts[::-1], rev_end)[::-1]
-    if data_reduce == "label_first":
+    or_total = S.seg_or_suffix8(sexts, is_end)
+    if data_reduce in ("none", "label_first"):
         lab_red = slab  # stable sort keeps first occurrence at run start
     elif data_reduce == "min":
-        lab_red = S.seg_op_scan(slab[::-1], rev_end, jnp.minimum)[::-1]
+        lab_red = S.seg_op_scan(slab[::-1], is_end[::-1], jnp.minimum)[::-1]
     elif data_reduce == "max":
-        lab_red = S.seg_op_scan(slab[::-1], rev_end, jnp.maximum)[::-1]
+        lab_red = S.seg_op_scan(slab[::-1], is_end[::-1], jnp.maximum)[::-1]
     elif data_reduce == "sum":
-        lab_red = S.seg_op_scan(slab[::-1], rev_end, lambda a, b: a + b)[::-1]
+        lab_red = S.seg_op_scan(slab[::-1], is_end[::-1], lambda a, b: a + b)[::-1]
     else:
         raise ValueError(data_reduce)
 
     counts = jnp.minimum(nxt_after - pos, 65535)
     passes = starts & (counts >= min_obs)
+    packed = (counts << 8) | (or_total & 0xFF)  # fits: 16+8 bits
     n_valid, vout = S.partition(
-        passes, list(slimbs) + [or_total, counts, lab_red]
+        passes,
+        list(slimbs) + [packed] + ([] if lab_red is None else [lab_red]),
     )
     vkmers = S.keys_to_limbs(vout[: spec.w])
-    vexts, vcounts, vdata = vout[spec.w], vout[spec.w + 1], vout[spec.w + 2]
+    vexts = vout[spec.w] & 0xFF
+    vcounts = vout[spec.w] >> 8
+    vdata = vout[spec.w + 1] if lab_red is not None else jnp.zeros_like(vcounts)
 
     if report_all:
         n_unique, aout = S.partition(starts, list(slimbs))
@@ -1081,7 +1089,7 @@ def filter_kmers_streaming(
     starts = np.nonzero(new)[0]
     ucounts = np.minimum(np.add.reduceat(counts, starts), 65535).astype(np.int32)
     uexts = np.bitwise_or.reduceat(exts, starts)
-    if data_reduce in ("label_first",):
+    if data_reduce in ("label_first", "none"):
         udata = data[starts]
     elif data_reduce == "min":
         udata = np.minimum.reduceat(data, starts)
