@@ -178,10 +178,13 @@ def main():
 
         # two jit units: fusing count+compress into one program makes XLA's
         # global optimization passes blow up compile time superlinearly
+        # data_reduce='none' + report_all=False is the reference CountFilter
+        # shape (counts only, no census, filter.rs:40-63) — the hot path
         @jax.jit
         def count(b, l, e, lab, spec=spec, stranded=stranded):
             return F.count_kmers(spec, b, l, e, lab, stranded=stranded,
-                                 min_obs=1, fused_frontend=args.fused)
+                                 min_obs=1, fused_frontend=args.fused,
+                                 data_reduce="none", report_all=False)
 
         @jax.jit
         def compress(kmers, exts, n_valid, spec=spec, stranded=stranded):
@@ -254,7 +257,13 @@ def main():
                 "vs_baseline": round(tpu_rate / cpu_rate, 3),
                 "detail": {
                     "corpus_model": "64 count batches + 1 compress "
-                                    "(reference usage shape)",
+                                    "(reference usage shape).  Assumes one "
+                                    "batch saturates the genome's unique "
+                                    "set (true here: genome 100kb << batch "
+                                    "kmers), so the single-batch table is "
+                                    "the merged-corpus table; the host-side "
+                                    "merge of partial tables is excluded",
+                    "fused_frontend": bool(args.fused),
                     "n_reads": n_reads,
                     "read_len": L,
                     "device": str(jax.devices()[0]),

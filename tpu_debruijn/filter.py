@@ -907,6 +907,40 @@ def filter_kmers(
     return table
 
 
+def _merge_sorted_parts(spec: KmerSpec, plist, data_reduce: str):
+    """Merge sorted-unique partial kmer tables into one (host side).
+
+    Each part is ``(kmers (n, W) sorted unique, exts, counts, data)``;
+    counts accumulate in int64 (u16 saturation is applied once, at the
+    end of streaming).  ``label_first`` keeps the earliest part's label
+    (np.lexsort is stable and parts are concatenated in arrival order).
+    """
+    kmers = np.concatenate([p[0] for p in plist])
+    exts = np.concatenate([p[1] for p in plist])
+    counts = np.concatenate([p[2] for p in plist]).astype(np.int64)
+    data = np.concatenate([p[3] for p in plist])
+    cols = tuple(kmers[:, i] for i in range(spec.w - 1, -1, -1))
+    order = np.lexsort(cols)
+    kmers, exts, counts, data = kmers[order], exts[order], counts[order], data[order]
+    new = np.ones(len(kmers), bool)
+    if len(kmers) > 1:
+        new[1:] = (kmers[1:] != kmers[:-1]).any(axis=1)
+    starts = np.nonzero(new)[0]
+    ucounts = np.add.reduceat(counts, starts)
+    uexts = np.bitwise_or.reduceat(exts, starts)
+    if data_reduce in ("label_first", "none"):
+        udata = data[starts]
+    elif data_reduce == "min":
+        udata = np.minimum.reduceat(data, starts)
+    elif data_reduce == "max":
+        udata = np.maximum.reduceat(data, starts)
+    elif data_reduce == "sum":
+        udata = np.add.reduceat(data, starts)
+    else:
+        raise ValueError(data_reduce)
+    return kmers[starts], uexts, ucounts, udata
+
+
 def filter_kmers_streaming(
     seqs,
     k: int,
@@ -973,10 +1007,18 @@ def filter_kmers_streaming(
             (
                 np.asarray(dev.kmers[:nb])[:n],
                 np.asarray(dev.exts[:nb])[:n],
-                np.asarray(dev.counts[:nb])[:n],
+                np.asarray(dev.counts[:nb])[:n].astype(np.int64),
                 np.asarray(dev.data[:nb])[:n],
             )
         )
+        # LSM-style incremental merging keeps host memory O(global unique)
+        # with a log factor, instead of O(sum of per-chunk uniques) — the
+        # reference's whole point of memory-bounded counting
+        # (filter.rs:151-183)
+        while len(parts) >= 2 and 2 * len(parts[-1][0]) >= len(parts[-2][0]):
+            b = parts.pop()
+            a = parts.pop()
+            parts.append(_merge_sorted_parts(spec, [a, b], data_reduce))
 
     def flush(chunk):
         nonlocal cap
@@ -1075,35 +1117,18 @@ def filter_kmers_streaming(
             np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
             np.zeros(0, np.int32), np.zeros(0, np.int32),
         )
-    kmers = np.concatenate([p[0] for p in parts])
-    exts = np.concatenate([p[1] for p in parts])
-    counts = np.concatenate([p[2] for p in parts]).astype(np.int64)
-    data = np.concatenate([p[3] for p in parts])
+    while len(parts) > 1:
+        b = parts.pop()
+        a = parts.pop()
+        parts.append(_merge_sorted_parts(spec, [a, b], data_reduce))
+    kmers, uexts, counts, udata = parts[0]
 
-    cols = tuple(kmers[:, i] for i in range(spec.w - 1, -1, -1))
-    order = np.lexsort(cols)
-    kmers, exts, counts, data = kmers[order], exts[order], counts[order], data[order]
-    new = np.ones(len(kmers), bool)
-    if len(kmers) > 1:
-        new[1:] = (kmers[1:] != kmers[:-1]).any(axis=1)
-    starts = np.nonzero(new)[0]
-    ucounts = np.minimum(np.add.reduceat(counts, starts), 65535).astype(np.int32)
-    uexts = np.bitwise_or.reduceat(exts, starts)
-    if data_reduce in ("label_first", "none"):
-        udata = data[starts]
-    elif data_reduce == "min":
-        udata = np.minimum.reduceat(data, starts)
-    elif data_reduce == "max":
-        udata = np.maximum.reduceat(data, starts)
-    elif data_reduce == "sum":
-        udata = np.add.reduceat(data, starts)
-    else:
-        raise ValueError(data_reduce)
+    ucounts = np.minimum(counts, 65535).astype(np.int32)
     keep = ucounts >= min_obs
     return KmerTable(
         spec=spec,
         stranded=stranded,
-        kmers=kmers[starts][keep],
+        kmers=kmers[keep],
         exts=uexts[keep].astype(np.int32),
         counts=ucounts[keep],
         data=udata[keep].astype(np.int32),
