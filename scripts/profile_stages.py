@@ -118,19 +118,39 @@ def main():
         return canonicalize_fused(spec, km, ex)
 
     @jax.jit
-    def stage_sort(kf, ef, lab, vf):
-        inv = (~vf).astype(jnp.uint32)
-        keys = [inv] + S.limbs_to_keys(kf)
-        (skeys, (sexts, slab)) = S.sort_with_payload(keys, [ef, lab])
-        return skeys, sexts, slab
+    def stage_sort(kf, ef, vf):
+        # the engine's actual observation sort (pad-bit validity flag,
+        # exts payload, unstable — filter.sort_observations)
+        return F.sort_observations(spec, kf, ef, None, vf, stable=False)
 
     @jax.jit
     def full_count(b, l, e, lab):
-        return F.count_kmers(spec, b, l, e, lab, stranded=False, min_obs=1)
+        return F.count_kmers(spec, b, l, e, lab, stranded=False, min_obs=1,
+                             data_reduce="none", report_all=False)
 
     @jax.jit
     def full_compress(kmers, exts, n_valid):
         return C.compress_kmer_table_device(spec, False, kmers, exts, n_valid)
+
+    @jax.jit
+    def stage_resolve(kmers, exts, n_valid):
+        return C.resolve_edges(spec, False, kmers, exts, n_valid)
+
+    @jax.jit
+    def stage_rank(pl, pr, il, ir, n_valid):
+        nk = pl.shape[0]
+        valid = jnp.arange(nk, dtype=jnp.int32) < n_valid
+        succ = C._succ_states(pl, pr, il, ir, valid)
+        node = jnp.repeat(jnp.arange(nk, dtype=jnp.int32), 2)
+        orient = jnp.tile(jnp.arange(2, dtype=jnp.int32), nk)
+        mnmo0 = (node << 1) | orient
+        return C._rank_all(succ, mnmo0)
+
+    @jax.jit
+    def stage_link(pl, pr, il, ir, n_valid):
+        nk = pl.shape[0]
+        valid = jnp.arange(nk, dtype=jnp.int32) < n_valid
+        return C.link_chains(pl, pr, il, ir, valid)
 
     print("compiling pipeline stages...", file=sys.stderr, flush=True)
     km, ex, valid = stage_extract(db, dl, de)
@@ -152,13 +172,33 @@ def main():
             t_canon_pal = timeit(stage_canon_pallas, kf, ef)
         except Exception as exn:  # pallas may be unavailable on some backends
             result["pallas_error"] = repr(exn)
-    t_sort = timeit(stage_sort, ck, cex, lab, vf)
+    t_sort = timeit(stage_sort, ck, cex, vf)
     print(f"sort: {t_sort*1e6:.0f} us", file=sys.stderr, flush=True)
     t_count = timeit(full_count, db, dl, de, dlab)
     print(f"count: {t_count*1e6:.0f} us", file=sys.stderr, flush=True)
     tbl = full_count(db, dl, de, dlab)
     jax.block_until_ready(tbl.kmers)
-    t_compress = timeit(full_compress, tbl.kmers, tbl.exts, tbl.n_valid)
+    # right-size the compress table like bench.py does (pow2 >= n_valid)
+    nv = int(np.asarray(tbl.n_valid))
+    cap = 1024
+    while cap < nv:
+        cap *= 2
+    cap = min(cap, tbl.kmers.shape[0])
+    ckm, cex2, cnv = tbl.kmers[:cap], tbl.exts[:cap], tbl.n_valid
+    t_compress = timeit(full_compress, ckm, cex2, cnv)
+    print(f"compress: {t_compress*1e6:.0f} us", file=sys.stderr, flush=True)
+
+    # compress sub-stages
+    t_resolve = timeit(stage_resolve, ckm, cex2, cnv)
+    print(f"  resolve_edges: {t_resolve*1e6:.0f} us", file=sys.stderr, flush=True)
+    edges = stage_resolve(ckm, cex2, cnv)
+    eargs = (edges["partner_l"], edges["partner_r"], edges["in_l"],
+             edges["in_r"], cnv)
+    t_rank = timeit(stage_rank, *eargs, force=lambda o: np.asarray(o[0][:1]))
+    print(f"  rank(doubling): {t_rank*1e6:.0f} us", file=sys.stderr, flush=True)
+    t_link = timeit(stage_link, *eargs,
+                    force=lambda o: np.asarray(o.n_unitigs))
+    print(f"  link_chains: {t_link*1e6:.0f} us", file=sys.stderr, flush=True)
 
     def step(b, l, e, lab):
         t = full_count(b, l, e, lab)
@@ -185,6 +225,9 @@ def main():
         "sort": (t_sort, b_sort_min),
         "count_total": (t_count, None),
         "compress": (t_compress, None),
+        "compress_resolve_edges": (t_resolve, None),
+        "compress_rank_doubling": (t_rank, None),
+        "compress_link_chains": (t_link, None),
         "end_to_end": (t_e2e, None),
     }
     if t_canon_pal is not None:

@@ -55,6 +55,21 @@ for _ in range(64):
 local = [r for i, r in enumerate(reads) if i % 2 == pid]  # split corpus
 
 g = assemble_multiprocess(local, 31, 8, stranded=False, min_obs=1)
+
+# overflow auto-resize: a deliberately tiny explicit cap_per_dest must
+# histogram-resize and retry, NOT hard-error (matches the single-process
+# count-then-allocate default)
+g2 = assemble_multiprocess(local, 31, 8, stranded=False, min_obs=1,
+                           cap_per_dest=16)
+def canon_rows(gr):
+    out = []
+    for i in range(len(gr)):
+        b = gr.base.sequences.get_bases(i)
+        rc = (3 - b[::-1]).astype(np.uint8)
+        out.append(list(min(tuple(int(x) for x in b), tuple(int(x) for x in rc))))
+    return sorted(out)
+assert canon_rows(g2) == canon_rows(g), "overflow retry changed the graph"
+
 rows = []
 for i in range(len(g)):
     b = g.base.sequences.get_bases(i)

@@ -479,6 +479,44 @@ def filter_kmers_set(
     return table, sets
 
 
+def assign_eq_classes(pair_kmer: np.ndarray, pair_label: np.ndarray, n: int):
+    """Vectorized eq-class assignment from sorted (kmer-slot, label) pairs.
+
+    ``pair_kmer`` is sorted ascending with ``pair_label`` sorted within
+    each slot (exactly :func:`filter_kmers_set`'s device output), so each
+    slot's label SET is a contiguous run.  Ids are assigned in first-
+    appearance order over slots 0..n-1 (the reference's discovery-order
+    semantics, CountFilterEqClass's HashMap insertion order).
+
+    Returns (ids (n,) int32, eq_classes list of label tuples).
+    """
+    split = np.searchsorted(pair_kmer, np.arange(n + 1))
+    lens = np.diff(split)
+    if n == 0:
+        return np.zeros(0, np.int32), []
+    maxlen = int(lens.max(initial=0))
+    # padded signature matrix: row per slot = labels then -1 padding.
+    # (colored-graph label sets are small — #samples wide at most; guard
+    # anyway and fall back to hashing rows in chunks if enormous)
+    rows = np.full((n, maxlen), -1, np.int64)
+    if len(pair_label):
+        col = np.arange(len(pair_label)) - np.repeat(split[:-1], lens)
+        rows[np.repeat(np.arange(n), lens), col] = pair_label
+    uniq, first_idx, inv = np.unique(
+        rows, axis=0, return_index=True, return_inverse=True
+    )
+    # renumber sorted-unique ids into first-appearance (discovery) order
+    order = np.argsort(first_idx, kind="stable")
+    remap = np.empty(len(uniq), np.int32)
+    remap[order] = np.arange(len(uniq), dtype=np.int32)
+    ids = remap[inv].astype(np.int32)
+    eq_classes = []
+    for u in order:
+        r = uniq[u]
+        eq_classes.append(tuple(int(x) for x in r[r >= 0]))
+    return ids, eq_classes
+
+
 def filter_kmers_eq_classes(
     seqs,
     k: int,
@@ -490,18 +528,44 @@ def filter_kmers_eq_classes(
     on the reference's KmerSummarizer trait, filter.rs:27-38): kmers with
     identical label sets share an equivalence-class id.
 
+    Fully vectorized: the device returns sorted (kmer, label) pairs and
+    :func:`assign_eq_classes` groups them with numpy row-unique — no
+    per-kmer Python loop, so million-kmer colored corpora classify in
+    seconds.
+
     Returns (KmerTable with data = eq-class id, eq_classes: list of label
     tuples indexed by id).
     """
-    table, sets = filter_kmers_set(seqs, k, stranded=stranded, min_obs=min_obs)
-    ids: dict = {}
-    data = np.zeros(len(table), np.int32)
-    for i, s in enumerate(sets):
-        if s not in ids:
-            ids[s] = len(ids)
-        data[i] = ids[s]
-    table.data = data
-    eq_classes = [s for s, _ in sorted(ids.items(), key=lambda kv: kv[1])]
+    spec = KmerSpec(k)
+    items = [s for s in seqs if len(s[0]) >= k]
+    if not items:
+        return (
+            KmerTable(
+                spec, stranded,
+                np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32),
+            ),
+            [],
+        )
+    bases, lengths = pad_reads([s[0] for s in items], min_len=k, pad_to=16)
+    seq_exts = np.array([s[1] for s in items], dtype=np.int32)
+    labels = np.array([s[2] for s in items], dtype=np.int32)
+    dev, pair_kmer, pair_label, n_pairs = _count_kmers_sets_jit(
+        spec, stranded, min_obs, bases, lengths, seq_exts, labels
+    )
+    n = int(dev.n_valid)
+    np_ = int(n_pairs)
+    ids, eq_classes = assign_eq_classes(
+        np.asarray(pair_kmer)[:np_], np.asarray(pair_label)[:np_], n
+    )
+    table = KmerTable(
+        spec=spec,
+        stranded=stranded,
+        kmers=np.asarray(dev.kmers[:n]),
+        exts=np.asarray(dev.exts[:n]),
+        counts=np.asarray(dev.counts[:n]),
+        data=ids,
+    )
     return table, eq_classes
 
 

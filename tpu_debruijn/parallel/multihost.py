@@ -14,10 +14,13 @@ split corpus and must produce the single-process result bit-for-bit.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional, Sequence
 
 import jax
 import numpy as np
+
+log = logging.getLogger("tpu_debruijn.multihost")
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -121,31 +124,50 @@ def assemble_multiprocess(
     # --- count-then-allocate exchange sizing (replicated result) ---------
     r_loc = gshape[0] // n_shards
     cap = r_loc * (L - k + 1)
-    if cap_per_dest is None:
+
+    def _hist_cap():
         hist_fn = _dest_histogram_fn(k, p, n_shards, stranded, mesh)
         hist = np.asarray(_replicate(hist_fn(g_bases, g_lengths), mesh))
-        cap_per_dest = min(cap, max(128, -(-int(hist.max()) // 128) * 128))
-    plan = ShardPlan(k, p, stranded, min_obs, n_shards, cap_per_dest)
+        return min(cap, max(128, -(-int(hist.max()) // 128) * 128))
+
+    user_cap = cap_per_dest
+    if cap_per_dest is None:
+        cap_per_dest = _hist_cap()
 
     # --- the SPMD step (scatter/count/compress/stitch collectives) -------
-    fn = _shard_map_fn(plan, mesh, stitch=True)
-    out = fn(g_bases, g_lengths, g_labels)
-    table, chains, u_exts, contrib, overflow, gchains, final_exts = out
+    # a user-supplied cap that overflows is retried ONCE with the exact
+    # histogram size (matching the single-process count-then-allocate
+    # default) before giving up
+    for attempt in (0, 1):
+        plan = ShardPlan(k, p, stranded, min_obs, n_shards, cap_per_dest)
+        fn = _shard_map_fn(plan, mesh, stitch=True)
+        out = fn(g_bases, g_lengths, g_labels)
+        table, chains, u_exts, contrib, overflow, gchains, final_exts = out
 
-    # --- bring every shard's outputs to every host ------------------------
-    (table, chains, u_exts, contrib, overflow, gchains, final_exts) = (
-        jax.tree.map(
-            np.asarray,
-            _replicate(
-                (table, chains, u_exts, contrib, overflow, gchains, final_exts),
-                mesh,
-            ),
+        # --- bring every shard's outputs to every host --------------------
+        (table, chains, u_exts, contrib, overflow, gchains, final_exts) = (
+            jax.tree.map(
+                np.asarray,
+                _replicate(
+                    (table, chains, u_exts, contrib, overflow, gchains,
+                     final_exts),
+                    mesh,
+                ),
+            )
         )
-    )
-    if int(overflow.sum()):
+        if not int(overflow.sum()):
+            break
+        if attempt == 0 and user_cap is not None:
+            log.warning(
+                "assemble_multiprocess: %d MSP intervals overflowed "
+                "cap_per_dest=%d; resizing via histogram and retrying",
+                int(overflow.sum()), cap_per_dest,
+            )
+            cap_per_dest = _hist_cap()
+            continue
         raise RuntimeError(
-            f"{int(overflow.sum())} MSP intervals overflowed; pass a larger "
-            f"cap_per_dest"
+            f"{int(overflow.sum())} MSP intervals overflowed even at the "
+            f"histogram-derived cap_per_dest={cap_per_dest}"
         )
 
     # --- identical deterministic host assembly on every process ----------
