@@ -235,12 +235,16 @@ def _rank_all(succ, mnmo):
     end0 = jnp.where(succ == -1, jnp.arange(mp, dtype=jnp.int32), -1)
     x0 = jnp.stack([succ, dist0, mnmo, end0], axis=1)
 
+    # the convergence flag is computed in the BODY and carried as a
+    # scalar: a cond that reduces over x's first column makes XLA pick a
+    # layout that defeats the fast gather emitter (measured 85ms vs 18ms
+    # per full ranking at m=295k on v5e)
     def cond(carry):
-        x, t = carry
-        return jnp.any(x[:, 0] >= 0) & (t < max_steps)
+        _, t, active = carry
+        return active & (t < max_steps)
 
     def body(carry):
-        x, t = carry
+        x, t, _ = carry
         succ = x[:, 0]
         sc = jnp.clip(succ, 0, mp - 1)
         g = x[sc]  # ONE row gather for all four aggregates
@@ -249,9 +253,13 @@ def _rank_all(succ, mnmo):
         dist_new = x[:, 1] + jnp.where(has, g[:, 1], 0)
         mn_new = jnp.where(has, jnp.minimum(x[:, 2], g[:, 2]), x[:, 2])
         end_new = jnp.where(has, g[:, 3], x[:, 3])
-        return jnp.stack([succ_new, dist_new, mn_new, end_new], axis=1), t + 1
+        return (
+            jnp.stack([succ_new, dist_new, mn_new, end_new], axis=1),
+            t + 1,
+            jnp.any(succ_new >= 0),
+        )
 
-    x, _ = jax.lax.while_loop(cond, body, (x0, 0))
+    x, _, _ = jax.lax.while_loop(cond, body, (x0, 0, jnp.bool_(True)))
     return x[:m, 0], x[:m, 1], x[:m, 2], x[:m, 3]
 
 

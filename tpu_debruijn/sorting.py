@@ -120,14 +120,20 @@ def sort_join_limbs(sorted_limbs, n_valid, query_limbs, table_vals=None):
     n, w = sorted_limbs.shape
     q = query_limbs.shape[0]
     tot = n + q
-    if tot >= (1 << 22):
-        raise ValueError(f"sort_join_limbs: n+q = {tot} exceeds 2**22")
+    if tot >= (1 << 29):
+        raise ValueError(f"sort_join_limbs: n+q = {tot} exceeds 2**29")
+    # payload layout: small joins (< 2**22 rows) pack the aux value into
+    # the row-id payload (zero extra gathers); big joins carry the row id
+    # only (29 bits under the scan flag) and fetch vals with one gather
+    packed_vals = table_vals is not None and tot < (1 << 22)
+    pos_bits = 22 if packed_vals else 29
+    pos_mask = (1 << pos_bits) - 1
     keys = [
         jnp.concatenate([sorted_limbs[:, i], query_limbs[:, i]])
         for i in range(w)
     ]
     pos = jnp.arange(tot, dtype=jnp.int32)
-    if table_vals is not None:
+    if packed_vals:
         pay = pos | jnp.concatenate(
             [(table_vals.astype(jnp.int32) & 0xFF), jnp.zeros(q, jnp.int32)]
         ) << 22
@@ -148,19 +154,25 @@ def sort_join_limbs(sorted_limbs, n_valid, query_limbs, table_vals=None):
 
     leader = jax.lax.associative_scan(comb, x) & (_JOIN_FLAG - 1)
 
-    lpos = leader & 0x3FFFFF
-    lval = (leader >> 22) & 0xFF
-    own = spay & 0x3FFFFF
+    lpos = leader & pos_mask
+    own = spay & pos_mask
     is_query = own >= n
     found_here = lpos < jnp.asarray(n_valid, jnp.int32)
-    res = lpos | (lval << 22) | jnp.where(found_here, _JOIN_FLAG, 0)
+    if packed_vals:
+        lval = (leader >> 22) & 0xFF
+        res = lpos | (lval << 22) | jnp.where(found_here, _JOIN_FLAG, 0)
+    else:
+        res = lpos | jnp.where(found_here, _JOIN_FLAG, 0)
 
     target = jnp.where(is_query, own - n, q)
     gathered = jnp.zeros(q, jnp.int32).at[target].set(res, mode="drop")
-    idx = gathered & 0x3FFFFF
+    idx = gathered & pos_mask
     found = gathered >= _JOIN_FLAG
     if table_vals is not None:
-        return idx, found, (gathered >> 22) & 0xFF
+        if packed_vals:
+            return idx, found, (gathered >> 22) & 0xFF
+        vals = table_vals.astype(jnp.int32)[jnp.clip(idx, 0, n - 1)] & 0xFF
+        return idx, found, vals
     return idx, found
 
 
