@@ -285,11 +285,6 @@ def count_kmers(
     )
     is_end = svalid & nxt_boundary
 
-    bnd = starts | ~svalid
-    t = jnp.where(bnd, pos, n)
-    suf_min = jax.lax.associative_scan(jnp.minimum, t[::-1])[::-1]
-    nxt_after = jnp.concatenate([suf_min[1:], jnp.full(1, n, jnp.int32)])
-
     or_total = S.seg_or_suffix8(sexts, is_end)
     if data_reduce in ("none", "label_first"):
         lab_red = slab  # stable sort keeps first occurrence at run start
@@ -302,17 +297,42 @@ def count_kmers(
     else:
         raise ValueError(data_reduce)
 
-    counts = jnp.minimum(nxt_after - pos, 65535)
-    passes = starts & (counts >= min_obs)
-    packed = (counts << 8) | (or_total & 0xFF)  # fits: 16+8 bits
-    n_valid, vout = S.partition(
-        passes,
-        list(slimbs) + [packed] + ([] if lab_red is None else [lab_red]),
-    )
-    vkmers = S.keys_to_limbs(vout[: spec.w])
-    vexts = vout[spec.w] & 0xFF
-    vcounts = vout[spec.w] >> 8
-    vdata = vout[spec.w + 1] if lab_red is not None else jnp.zeros_like(vcounts)
+    if min_obs <= 1 and n < (1 << 23):
+        # every run start passes, so counts need not precede the partition:
+        # carry each start's POSITION instead and difference consecutive
+        # compacted positions afterwards — drops the suffix-min scan
+        passes = starts
+        packed = (pos << 8) | (or_total & 0xFF)
+        n_valid, vout = S.partition(
+            passes,
+            list(slimbs) + [packed] + ([] if lab_red is None else [lab_red]),
+        )
+        vkmers = S.keys_to_limbs(vout[: spec.w])
+        vexts = vout[spec.w] & 0xFF
+        p = vout[spec.w] >> 8
+        nvalid_obs = svalid.sum().astype(jnp.int32)
+        nxt = jnp.concatenate([p[1:], jnp.zeros(1, p.dtype)])
+        nxt = jnp.where(pos == n_valid - 1, nvalid_obs, nxt)
+        vcounts = jnp.minimum(nxt - p, 65535)
+        vdata = vout[spec.w + 1] if lab_red is not None else jnp.zeros_like(vcounts)
+    else:
+        # general path: per-run length from one suffix-min scan over the
+        # boundary positions (runs are contiguous among valid rows)
+        bnd = starts | ~svalid
+        t = jnp.where(bnd, pos, n)
+        suf_min = jax.lax.associative_scan(jnp.minimum, t[::-1])[::-1]
+        nxt_after = jnp.concatenate([suf_min[1:], jnp.full(1, n, jnp.int32)])
+        counts = jnp.minimum(nxt_after - pos, 65535)
+        passes = starts & (counts >= min_obs)
+        packed = (counts << 8) | (or_total & 0xFF)  # fits: 16+8 bits
+        n_valid, vout = S.partition(
+            passes,
+            list(slimbs) + [packed] + ([] if lab_red is None else [lab_red]),
+        )
+        vkmers = S.keys_to_limbs(vout[: spec.w])
+        vexts = vout[spec.w] & 0xFF
+        vcounts = vout[spec.w] >> 8
+        vdata = vout[spec.w + 1] if lab_red is not None else jnp.zeros_like(vcounts)
 
     if report_all:
         n_unique, aout = S.partition(starts, list(slimbs))
@@ -1045,7 +1065,9 @@ def filter_kmers_streaming(
         lk = max(read_len_cap - k + 1, 1)
         bytes_per_read = lk * (spec.w + 5) * 4 * 2
         chunk_reads = max(256, int(memory_gb * 1e9 / bytes_per_read))
-    cap = read_len_cap
+    # widths are always rounded to 64 (bounds compile shapes), including
+    # the user-provided cap, so the first block never triggers a regrow
+    cap = None if read_len_cap is None else -(-read_len_cap // 64) * 64
     parts = []
     chunk: List = []
 

@@ -233,15 +233,21 @@ def segment_first(vals, seg, n, starts):
 
 
 def partition(mask, arrays):
-    """Stable partition via a 1-bit-key sort: rows with mask move to the
-    front, preserving order.  Returns (count, arrays).
+    """Stable partition via one sort: rows with mask move to the front,
+    preserving order.  Returns (count, arrays).
 
     On TPU this is ~8x faster than the scatter-based ``compact`` (XLA
-    lowers scatters poorly; sorts are native).  Tail slots hold the
-    unselected rows (NOT a fill value) — callers must bound by count.
+    lowers scatters poorly; sorts are native).  The key is the row index
+    with the mask in the top bit — keys are UNIQUE, so the ~2x-faster
+    unstable sort is still deterministic and order-preserving within both
+    groups.  Tail slots hold the unselected rows (NOT a fill value) —
+    callers must bound by count.
     """
-    key = (~mask).astype(jnp.uint8)
-    out = jax.lax.sort([key] + list(arrays), num_keys=1, is_stable=True)
+    n = mask.shape[0]
+    key = jnp.arange(n, dtype=jnp.uint32) | jnp.where(
+        mask, np.uint32(0), np.uint32(1 << 31)
+    )
+    out = jax.lax.sort([key] + list(arrays), num_keys=1, is_stable=False)
     return mask.sum().astype(jnp.int32), out[1:]
 
 
