@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--memory-gb", type=float, default=2.0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--min-obs", type=int, default=2)
+    ap.add_argument("--merge", default="device", choices=["device", "host"],
+                    help="device: table accumulates on-device, one final "
+                         "transfer (the fast path); host: per-chunk table "
+                         "pulls + LSM numpy merge")
+    ap.add_argument("--init-capacity", type=int, default=1 << 24)
     args = ap.parse_args()
 
     import jax
@@ -80,6 +85,9 @@ def main():
         min_obs=args.min_obs,
         read_len_cap=args.read_len,
         memory_gb=args.memory_gb,
+        data_reduce="none" if args.merge == "device" else "label_first",
+        merge=args.merge,
+        init_capacity=args.init_capacity,
     )
     t_count = time.time() - t0
 
@@ -114,6 +122,9 @@ def main():
         "compress_wall_s": round(t_compress, 1),
         "kmers_per_s_end_to_end": round(n_kmers / (t_count + t_compress), 1),
         "peak_host_rss_gb": round(peak_rss_gb, 2),
+        "host_budget_gb": 8.0,
+        "rss_under_budget": bool(peak_rss_gb <= 8.0),
+        "merge": args.merge,
         "device": str(jax.devices()[0]),
     }
     os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)

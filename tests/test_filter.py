@@ -218,3 +218,36 @@ def test_kmer_table_lookup(rng):
     absent = KM.from_bases(tab.spec, np.zeros(k, np.uint8))
     if tab.get_key_id(absent) is None:
         assert tab.get(absent) is None
+
+
+def test_streaming_device_merge_equals_host(rng):
+    """merge='device' (table accumulated on device, one sort per chunk)
+    must equal the single-pass result bit-for-bit, including capacity
+    growth and the u16 count saturation contract."""
+    from tpu_debruijn import filter as F
+
+    g = rng.integers(0, 4, 2000).astype(np.uint8)
+    reads = []
+    for _ in range(200):
+        s = int(rng.integers(0, 1900))
+        r = g[s : s + 90].copy()
+        if rng.random() < 0.5:
+            r = (3 - r)[::-1]
+        reads.append((r, 0, 0))
+    ref = F.filter_kmers(reads, 31, stranded=False, min_obs=2)
+    dev = F.filter_kmers_streaming(
+        iter(reads), 31, stranded=False, min_obs=2, chunk_reads=32,
+        data_reduce="none", merge="device", init_capacity=256,
+    )
+    assert np.array_equal(dev.kmers, ref.kmers)
+    assert np.array_equal(dev.counts, ref.counts)
+    assert np.array_equal(dev.exts, ref.exts)
+
+
+def test_streaming_device_merge_rejects_labels():
+    from tpu_debruijn import filter as F
+
+    with pytest.raises(ValueError):
+        F.filter_kmers_streaming(
+            iter([]), 31, merge="device", data_reduce="label_first"
+        )

@@ -991,6 +991,83 @@ def filter_kmers(
     return table
 
 
+_MERGE_FLAG = jnp.int32(1 << 30)
+
+
+def _seg_sum_or_suffix(packed, is_end):
+    """Suffix segmented reduce of ``(count << 8) | exts`` lanes: at each
+    element, (u16-saturating count sum, exts OR) from the element through
+    its segment's END — one packed int32 associative scan.
+
+    Early u16 saturation commutes with the final ``min(sum, 65535)`` the
+    API promises (min-of-sums == min-of-saturating-sums), so the count
+    stays in 16 bits throughout.
+    """
+    x = jnp.where(is_end, packed | _MERGE_FLAG, packed)[::-1]
+
+    def comb(a, b):
+        cnt = jnp.minimum(((a >> 8) & 0xFFFF) + ((b >> 8) & 0xFFFF), 65535)
+        merged = (cnt << 8) | ((a | b) & 0xFF) | (a & _MERGE_FLAG)
+        return jnp.where((b & _MERGE_FLAG) != 0, b | (a & _MERGE_FLAG), merged)
+
+    return (jax.lax.associative_scan(comb, x) & ~_MERGE_FLAG)[::-1]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _merge_chunk_jit(spec, stranded, s_kmers, s_packed, s_n,
+                     bases, lengths, seq_exts):
+    """Merge one raw read chunk into the device-resident unique table.
+
+    State: ``s_kmers`` (C, W) sorted unique canonical kmers (rows >= s_n
+    are garbage), ``s_packed`` (C,) int32 = (count<<8)|exts.  The chunk's
+    kmers are extracted, canonicalized, and merged in ONE sort over
+    C + R*Lk rows — duplicate grouping within the chunk and the join with
+    the accumulated table are the same sort.  Returns (new_kmers,
+    new_packed, n_new): ``n_new`` may exceed C (overflow — caller grows C
+    and retries; state inputs are not donated so retry is safe).
+    """
+    kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
+    kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
+    nc = kmers.shape[0] * kmers.shape[1]
+    w = spec.w
+    c = s_kmers.shape[0]
+    kf = kmers.reshape(nc, w)
+    ef = exts.reshape(nc)
+    vf = valid.reshape(nc)
+
+    val_all = jnp.concatenate([jnp.arange(c, dtype=jnp.int32) < s_n, vf])
+    pay_all = jnp.concatenate([s_packed, (1 << 8) | ef])
+    cols = [
+        jnp.concatenate([s_kmers[:, i], kf[:, i]]) for i in range(w)
+    ]
+    if spec.pad >= 1:
+        flag = jnp.where(val_all, np.uint32(0), np.uint32(1 << 31))
+        keys = [cols[0] | flag] + cols[1:]
+        out = jax.lax.sort(keys + [pay_all], num_keys=w, is_stable=False)
+        svalid = (out[0] >> np.uint32(31)) == 0
+        slimbs = [out[0] & spec.top_mask] + list(out[1:w])
+    else:
+        inv = (~val_all).astype(jnp.uint32)
+        out = jax.lax.sort([inv] + cols + [pay_all], num_keys=w + 1,
+                           is_stable=False)
+        svalid = out[0] == 0
+        slimbs = list(out[1 : w + 1])
+    spacked = out[-1]
+
+    starts = S.run_starts(slimbs, svalid)
+    n = svalid.shape[0]
+    nxt_boundary = jnp.concatenate(
+        [starts[1:] | ~svalid[1:], jnp.ones(1, bool)]
+    )
+    is_end = svalid & nxt_boundary
+    agg = _seg_sum_or_suffix(spacked, is_end)
+    n_new = starts.sum().astype(jnp.int32)
+    _, vout = S.partition(starts, slimbs + [agg])
+    new_kmers = S.keys_to_limbs([v[:c] for v in vout[:w]])
+    new_packed = vout[w][:c]
+    return new_kmers, new_packed, n_new
+
+
 def _merge_sorted_parts(spec: KmerSpec, plist, data_reduce: str):
     """Merge sorted-unique partial kmer tables into one (host side).
 
@@ -1035,6 +1112,8 @@ def filter_kmers_streaming(
     chunk_reads: int = 4096,
     read_len_cap: Optional[int] = None,
     memory_gb: Optional[float] = None,
+    merge: str = "host",
+    init_capacity: int = 1 << 20,
 ) -> KmerTable:
     """Memory-bounded streaming counting (filter.rs:151-183 equivalent).
 
@@ -1057,6 +1136,17 @@ def filter_kmers_streaming(
     optional lengths, mirroring the per-read tuple order — and bypass
     the per-read Python staging loop — the fast path for high-volume
     streaming.
+
+    ``merge`` selects where partial results accumulate:
+
+    * ``"host"`` (default): each chunk's unique table is pulled to the
+      host and LSM-merged in numpy — labels and every ``data_reduce``
+      supported.
+    * ``"device"``: the unique table stays ON DEVICE (capacity
+      ``init_capacity`` rows, grown on demand) and each raw chunk is
+      merged with one sort — no per-chunk table transfers at all, so the
+      stream runs at device speed (the tunnel/host merge otherwise
+      dominates at 100M+ kmers).  Requires ``data_reduce='none'``.
     """
     spec = KmerSpec(k)
     if memory_gb is not None and read_len_cap is not None:
@@ -1071,7 +1161,47 @@ def filter_kmers_streaming(
     parts = []
     chunk: List = []
 
+    if merge == "device":
+        if data_reduce != "none":
+            raise ValueError(
+                "merge='device' supports data_reduce='none' only (labels "
+                "cannot ride the device merge); use merge='host'"
+            )
+        dstate = {"kmers": None, "packed": None, "n": None, "C": init_capacity}
+
+    def run_device_merge(arr, lengths, seq_exts, labels):
+        if dstate["kmers"] is None:
+            c0 = dstate["C"]
+            dstate["kmers"] = jnp.zeros((c0, spec.w), jnp.uint32)
+            dstate["packed"] = jnp.zeros(c0, jnp.int32)
+            dstate["n"] = jnp.int32(0)
+        da, dl, de = map(jnp.asarray, (arr, lengths, seq_exts))
+        while True:
+            nk, npk, nn = _merge_chunk_jit(
+                spec, stranded, dstate["kmers"], dstate["packed"], dstate["n"],
+                da, dl, de,
+            )
+            n_new = int(nn)
+            if n_new <= dstate["C"]:
+                dstate["kmers"], dstate["packed"], dstate["n"] = nk, npk, nn
+                return
+            # overflow: grow capacity (pow2) and retry the SAME chunk —
+            # the old state was not donated, so it is still intact
+            c2 = dstate["C"]
+            while c2 < n_new:
+                c2 *= 2
+            log.info(
+                "filter_kmers_streaming[device]: growing table capacity "
+                "%d -> %d", dstate["C"], c2,
+            )
+            pad = c2 - dstate["C"]
+            dstate["kmers"] = jnp.pad(dstate["kmers"], ((0, pad), (0, 0)))
+            dstate["packed"] = jnp.pad(dstate["packed"], ((0, pad),))
+            dstate["C"] = c2
+
     def run_device(arr, lengths, seq_exts, labels):
+        if merge == "device":
+            return run_device_merge(arr, lengths, seq_exts, labels)
         dev = _count_kmers_jit(
             spec, stranded, 1, data_reduce, False, arr, lengths, seq_exts, labels
         )
@@ -1196,6 +1326,32 @@ def filter_kmers_streaming(
             flush(chunk)
             chunk = []
     flush(chunk)
+
+    if merge == "device":
+        if dstate["kmers"] is None:
+            return KmerTable(
+                spec, stranded,
+                np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32),
+            )
+        n = int(dstate["n"])
+        nb = 256
+        while nb < n:
+            nb *= 2
+        nb = min(nb, dstate["C"])
+        kk = np.asarray(dstate["kmers"][:nb])[:n]
+        pp = np.asarray(dstate["packed"][:nb])[:n]
+        counts = ((pp >> 8) & 0xFFFF).astype(np.int32)  # u16-saturated
+        exts = (pp & 0xFF).astype(np.int32)
+        keep = counts >= min_obs
+        return KmerTable(
+            spec=spec,
+            stranded=stranded,
+            kmers=kk[keep],
+            exts=exts[keep],
+            counts=counts[keep],
+            data=np.zeros(int(keep.sum()), np.int32),
+        )
 
     if not parts:
         return KmerTable(
