@@ -189,3 +189,20 @@ def test_summarizer_receives_kmer_and_arbitrary_payloads(rng):
         key = tuple(int(x) for x in fast.kmers[i])
         assert seen[key] == tuple(sorted(barcodes[j] for j in sets[i]))
         assert data[i] == len(sets[i])
+
+
+def test_filter_kmers_set_arrays_matches_tuples(rng):
+    """Array-native CountFilterSet == the tuple API, row for row."""
+    from tpu_debruijn.filter import filter_kmers_set, filter_kmers_set_arrays
+
+    g = rng.integers(0, 4, 600).astype(np.uint8)
+    seqs = []
+    for lab in range(6):
+        s = int(rng.integers(0, 500))
+        seqs.append((g[s : s + 80].copy(), 0, lab))
+    t1, sets = filter_kmers_set(seqs, 25, stranded=False, min_obs=1)
+    t2, plb, split = filter_kmers_set_arrays(seqs, 25, stranded=False, min_obs=1)
+    assert np.array_equal(t1.kmers, t2.kmers)
+    assert len(sets) == len(t2)
+    for i, s in enumerate(sets):
+        assert tuple(plb[split[i] : split[i + 1]]) == s

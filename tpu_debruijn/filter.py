@@ -537,6 +537,55 @@ def assign_eq_classes(pair_kmer: np.ndarray, pair_label: np.ndarray, n: int):
     return ids, eq_classes
 
 
+def filter_kmers_set_arrays(
+    seqs,
+    k: int,
+    *,
+    stranded: bool = False,
+    min_obs: int = 1,
+):
+    """Array-native CountFilterSet: no per-kmer Python tuples.
+
+    Returns (KmerTable, pair_label (P,) int32, split (n+1,) int64): the
+    label SET of table row i is ``pair_label[split[i]:split[i+1]]``
+    (sorted, deduplicated).  This is the scale-safe variant of
+    :func:`filter_kmers_set` — a 100M-kmer colored run never materializes
+    Python objects.
+    """
+    spec = KmerSpec(k)
+    items = [s for s in seqs if len(s[0]) >= k]
+    if not items:
+        return (
+            KmerTable(
+                spec, stranded,
+                np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32),
+            ),
+            np.zeros(0, np.int32),
+            np.zeros(1, np.int64),
+        )
+    bases, lengths = pad_reads([s[0] for s in items], min_len=k, pad_to=16)
+    seq_exts = np.array([s[1] for s in items], dtype=np.int32)
+    labels = np.array([s[2] for s in items], dtype=np.int32)
+    dev, pair_kmer, pair_label, n_pairs = _count_kmers_sets_jit(
+        spec, stranded, min_obs, bases, lengths, seq_exts, labels
+    )
+    n = int(dev.n_valid)
+    np_ = int(n_pairs)
+    pk = np.asarray(pair_kmer)[:np_]
+    plb = np.asarray(pair_label)[:np_]
+    split = np.searchsorted(pk, np.arange(n + 1)).astype(np.int64)
+    table = KmerTable(
+        spec=spec,
+        stranded=stranded,
+        kmers=np.asarray(dev.kmers[:n]),
+        exts=np.asarray(dev.exts[:n]),
+        counts=np.asarray(dev.counts[:n]),
+        data=np.zeros(n, np.int32),
+    )
+    return table, plb, split
+
+
 def filter_kmers_eq_classes(
     seqs,
     k: int,
