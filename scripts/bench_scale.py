@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def read_stream(n_reads, read_len, genome, seed=0, batch=65536):
+def read_stream(n_reads, read_len, genome, seed=0, batch=16384):
     rng = np.random.default_rng(seed)
     done = 0
     while done < n_reads:
@@ -45,7 +45,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=1_000_000)
     ap.add_argument("--read-len", type=int, default=160)
-    ap.add_argument("--genome", type=int, default=10_000_000)
+    ap.add_argument("--genome", type=int, default=4_000_000,
+                    help="E. coli scale by default; the remote-compile "
+                         "helper on this image SIGKILLs very large "
+                         "programs, so table capacity (and hence unique "
+                         "kmers) is kept moderate while the STREAMED "
+                         "volume stays 100M+")
+    ap.add_argument("--block", type=int, default=16384,
+                    help="reads per generated block (bounds the merge "
+                         "program's size)")
     ap.add_argument("--k", type=int, default=31)
     ap.add_argument("--memory-gb", type=float, default=2.0)
     ap.add_argument("--cpu", action="store_true")
@@ -54,7 +62,7 @@ def main():
                     help="device: table accumulates on-device, one final "
                          "transfer (the fast path); host: per-chunk table "
                          "pulls + LSM numpy merge")
-    ap.add_argument("--init-capacity", type=int, default=1 << 24)
+    ap.add_argument("--init-capacity", type=int, default=1 << 23)
     args = ap.parse_args()
 
     import jax
@@ -79,7 +87,7 @@ def main():
 
     t0 = time.time()
     table = F.filter_kmers_streaming(
-        read_stream(args.reads, args.read_len, genome),
+        read_stream(args.reads, args.read_len, genome, batch=args.block),
         k,
         stranded=False,
         min_obs=args.min_obs,
