@@ -122,7 +122,8 @@ def measure_copy_bw(jnp, np_, sync_latency):
     import jax
 
     nbytes = 64 * 1024 * 1024
-    passes = 30
+    passes = 512  # ~77ms total at v5e-class bandwidth: far above the
+    # ±5ms tunnel sync-latency noise that a single pass would drown in
     big = jnp.zeros(nbytes // 4, jnp.uint32)
 
     @jax.jit
