@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def read_stream(n_reads, read_len, genome, seed=0, batch=16384):
+def read_stream(n_reads, read_len, genome, seed=0, batch=8192):
     rng = np.random.default_rng(seed)
     done = 0
     while done < n_reads:
@@ -45,13 +45,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=1_000_000)
     ap.add_argument("--read-len", type=int, default=160)
-    ap.add_argument("--genome", type=int, default=4_000_000,
+    ap.add_argument("--genome", type=int, default=2_000_000,
                     help="E. coli scale by default; the remote-compile "
                          "helper on this image SIGKILLs very large "
                          "programs, so table capacity (and hence unique "
                          "kmers) is kept moderate while the STREAMED "
                          "volume stays 100M+")
-    ap.add_argument("--block", type=int, default=16384,
+    ap.add_argument("--block", type=int, default=8192,
                     help="reads per generated block (bounds the merge "
                          "program's size)")
     ap.add_argument("--k", type=int, default=31)
@@ -62,7 +62,7 @@ def main():
                     help="device: table accumulates on-device, one final "
                          "transfer (the fast path); host: per-chunk table "
                          "pulls + LSM numpy merge")
-    ap.add_argument("--init-capacity", type=int, default=1 << 23)
+    ap.add_argument("--init-capacity", type=int, default=1 << 22)
     args = ap.parse_args()
 
     import jax
@@ -98,6 +98,19 @@ def main():
         init_capacity=args.init_capacity,
     )
     t_count = time.time() - t0
+    # partial artifact first: the compress program below is a fresh
+    # (large) remote compile; if it stalls, the counting result survives
+    os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)
+    with open(os.path.join(repo, "artifacts", "scale_run.json"), "w") as f:
+        json.dump({
+            "n_reads": args.reads, "read_len": args.read_len, "k": k,
+            "n_kmers_streamed": n_kmers, "n_valid_kmers": len(table),
+            "count_wall_s": round(t_count, 1), "merge": args.merge,
+            "partial": "counting only; compress pending",
+            "device": str(jax.devices()[0]),
+        }, f, indent=1)
+    print(f"counting done: {len(table)} kmers in {t_count:.1f}s "
+          f"({n_kmers/t_count/1e6:.1f}M kmers/s)", flush=True)
 
     t0 = time.time()
     spec = table.spec
