@@ -206,3 +206,48 @@ def test_filter_kmers_set_arrays_matches_tuples(rng):
     assert len(sets) == len(t2)
     for i, s in enumerate(sets):
         assert tuple(plb[split[i] : split[i + 1]]) == s
+
+
+def test_eq_classes_hashed_fallback_parity(rng):
+    """The scale-safe hashed eq-class path (ADVICE r3: chunked row-hash
+    fallback when the dense (n, maxlen) matrix would be enormous) must
+    produce IDENTICAL ids and class lists to the dense path."""
+    k = 16
+    reads = _make_labeled_reads(rng, n_labels=5, n_reads=60)
+    table, _, split = F.filter_kmers_set_arrays(reads, k, stranded=False)
+    # rebuild the raw (pair_kmer, pair_label) stream from the arrays API
+    n = len(table)
+    lens = np.diff(split)
+    pair_kmer = np.repeat(np.arange(n), lens).astype(np.int32)
+    # need actual labels: re-run the set API for ground truth
+    table2, pair_label, split2 = F.filter_kmers_set_arrays(
+        reads, k, stranded=False
+    )
+    assert np.array_equal(split, split2)
+
+    dense_ids, dense_classes = F.assign_eq_classes(
+        pair_kmer, pair_label, n, dense_limit=1 << 40
+    )
+    hashed_ids, hashed_classes = F.assign_eq_classes(
+        pair_kmer, pair_label, n, dense_limit=0
+    )
+    assert np.array_equal(dense_ids, hashed_ids)
+    assert dense_classes == hashed_classes
+
+
+def test_eq_classes_hashed_empty_runs():
+    """Slots with EMPTY label runs (possible when pairs were filtered)
+    group together under the hashed path, same as dense."""
+    # slots: 0 -> (1,2), 1 -> (), 2 -> (1,2), 3 -> (), 4 -> (3,)
+    pair_kmer = np.array([0, 0, 2, 2, 4], np.int32)
+    pair_label = np.array([1, 2, 1, 2, 3], np.int32)
+    dense_ids, dense_classes = F.assign_eq_classes(
+        pair_kmer, pair_label, 5, dense_limit=1 << 40
+    )
+    hashed_ids, hashed_classes = F.assign_eq_classes(
+        pair_kmer, pair_label, 5, dense_limit=0
+    )
+    assert np.array_equal(dense_ids, hashed_ids)
+    assert dense_classes == hashed_classes
+    assert dense_ids[1] == dense_ids[3]
+    assert dense_ids[0] == dense_ids[2]

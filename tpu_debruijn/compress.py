@@ -223,9 +223,11 @@ def _rank_all(succ, mnmo):
     # (measured on v5e: m=270336 -> 120ms for 18 rounds, m=294912 -> 22ms).
     # Padding medium tables with dead states (succ = -1) up to the fast
     # threshold is a straight ~5x win; tiny tables stay as-is (absolute
-    # cost already negligible).
+    # cost already negligible).  The cliff (and the constant) is a
+    # TPU-emitter artifact measured on v5e — CPU/GPU backends must not pay
+    # up to ~6x extra rows per round for it (ADVICE r3).
     FAST_ROWS = 294912
-    if 49152 <= m < FAST_ROWS:
+    if jax.default_backend() == "tpu" and 49152 <= m < FAST_ROWS:
         pad = FAST_ROWS - m
         succ = jnp.concatenate([succ, jnp.full(pad, -1, succ.dtype)])
         mnmo = jnp.concatenate([mnmo, jnp.zeros(pad, mnmo.dtype)])
@@ -268,6 +270,14 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
 
     See module docstring.  ``valid`` masks live items; invalid items get
     uid -1.
+
+    Precondition: partner edges must be strictly MUTUAL and entry-side
+    consistent — if ``partner_d[i] == j`` then the partner array of j for
+    the side ``in_d[i]`` must point back at i.  Chain starts are derived
+    purely from ``partner < 0`` (no in-degree scatter), which is only
+    correct under mutuality; both callers (:func:`resolve_edges`,
+    graph._node_partner_body) enforce it with a rev == idx_self pass.
+    Non-mutual input would silently emit wrong unitigs.
     """
     n = partner_l.shape[0]
     m = 2 * n

@@ -503,7 +503,13 @@ def filter_kmers_set(
     return table, sets
 
 
-def assign_eq_classes(pair_kmer: np.ndarray, pair_label: np.ndarray, n: int):
+def assign_eq_classes(
+    pair_kmer: np.ndarray,
+    pair_label: np.ndarray,
+    n: int,
+    *,
+    dense_limit: int = 1 << 26,
+):
     """Vectorized eq-class assignment from sorted (kmer-slot, label) pairs.
 
     ``pair_kmer`` is sorted ascending with ``pair_label`` sorted within
@@ -512,6 +518,14 @@ def assign_eq_classes(pair_kmer: np.ndarray, pair_label: np.ndarray, n: int):
     appearance order over slots 0..n-1 (the reference's discovery-order
     semantics, CountFilterEqClass's HashMap insertion order).
 
+    Small inputs build a dense (n, maxlen) signature matrix and row-unique
+    it; when ``n * maxlen > dense_limit`` elements (the dense matrix would
+    exceed ~``8 * dense_limit`` bytes, e.g. 1M kmers x 1000 samples) the
+    runs are instead hashed to 128-bit digests (two independent 64-bit
+    polynomial hashes + the run length) and the digests are uniqued —
+    O(n + P) memory regardless of set width, with collision probability
+    ~n^2 / 2^128.
+
     Returns (ids (n,) int32, eq_classes list of label tuples).
     """
     split = np.searchsorted(pair_kmer, np.arange(n + 1))
@@ -519,9 +533,9 @@ def assign_eq_classes(pair_kmer: np.ndarray, pair_label: np.ndarray, n: int):
     if n == 0:
         return np.zeros(0, np.int32), []
     maxlen = int(lens.max(initial=0))
-    # padded signature matrix: row per slot = labels then -1 padding.
-    # (colored-graph label sets are small — #samples wide at most; guard
-    # anyway and fall back to hashing rows in chunks if enormous)
+    if n * max(maxlen, 1) > dense_limit:
+        return _assign_eq_classes_hashed(pair_label, split, lens, n)
+    # padded signature matrix: row per slot = labels then -1 padding
     rows = np.full((n, maxlen), -1, np.int64)
     if len(pair_label):
         col = np.arange(len(pair_label)) - np.repeat(split[:-1], lens)
@@ -538,6 +552,60 @@ def assign_eq_classes(pair_kmer: np.ndarray, pair_label: np.ndarray, n: int):
     for u in order:
         r = uniq[u]
         eq_classes.append(tuple(int(x) for x in r[r >= 0]))
+    return ids, eq_classes
+
+
+def _assign_eq_classes_hashed(pair_label, split, lens, n):
+    """Scale-safe eq-class grouping: order-sensitive polynomial digests of
+    each slot's label run instead of a dense signature matrix.
+
+    Runs are already sorted + deduplicated, so equal SETS produce equal
+    sequences and therefore equal digests.  Two independent 64-bit hashes
+    plus the exact run length make accidental collisions ~n^2 / 2^128.
+    """
+    P = len(pair_label)
+    labs = pair_label.astype(np.uint64) + np.uint64(1)  # avoid 0-absorption
+    if P:
+        col = (np.arange(P, dtype=np.int64) - np.repeat(split[:-1], lens)).astype(
+            np.uint64
+        )
+        h = np.zeros((n, 2), np.uint64)
+        with np.errstate(over="ignore"):
+            for j, r in enumerate(
+                (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F))
+            ):
+                # r^col via exponentiation of the per-position exponent in
+                # log-steps (wraparound mod 2^64 is the hash ring)
+                pw = np.ones(P, np.uint64)
+                base = r
+                c = col.copy()
+                while c.any():
+                    odd = (c & np.uint64(1)).astype(bool)
+                    pw[odd] *= base
+                    base = base * base
+                    c >>= np.uint64(1)
+                terms = labs * pw
+                nonempty = lens > 0
+                acc = np.zeros(n, np.uint64)
+                sums = np.add.reduceat(terms, split[:-1][nonempty])
+                acc[nonempty] = sums
+                h[:, j] = acc
+    else:
+        h = np.zeros((n, 2), np.uint64)
+    sig = np.column_stack([h, lens.astype(np.uint64)])
+    uniq, first_idx, inv = np.unique(
+        sig, axis=0, return_index=True, return_inverse=True
+    )
+    order = np.argsort(first_idx, kind="stable")
+    remap = np.empty(len(uniq), np.int32)
+    remap[order] = np.arange(len(uniq), dtype=np.int32)
+    ids = remap[inv.reshape(-1)].astype(np.int32)
+    eq_classes = []
+    for u in order:
+        s = int(first_idx[u])
+        eq_classes.append(
+            tuple(int(x) for x in pair_label[split[s] : split[s + 1]])
+        )
     return ids, eq_classes
 
 

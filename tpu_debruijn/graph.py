@@ -508,6 +508,10 @@ class DebruijnGraph:
                 status = END if (nl == 0 and nr == 0) else ACTIVE
                 states.append(([(i, d)], float(score(int(self.data[i]))), status))
         if not states:
+            # no terminal nodes (fully cyclic graph): the reference seeds
+            # the beam with (node 0, Left) too — "No end nodes -- just
+            # start on the first node" (graph.rs:752-762); exercised by
+            # test_max_path_beam_cyclic_terminates
             states.append(([(0, LEFT)], float(score(int(self.data[0]))), ACTIVE))
 
         active = True

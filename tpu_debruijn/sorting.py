@@ -111,8 +111,10 @@ def sort_join_limbs(sorted_limbs, n_valid, query_limbs, table_vals=None):
         against n_valid.
       query_limbs: (q, W) queries, any order.
       table_vals: optional (n,) aux values in [0, 255] (e.g. Exts bytes)
-        returned for the matched row with no extra gather (packed into
-        the sort payload).  Requires n + q < 2**22.
+        returned for the matched row.  When n + q < 2**22 the value rides
+        the sort payload (zero extra gathers); larger joins carry the row
+        id only (29 bits under the scan flag) and fetch vals with one
+        post-join gather.  Hard limit: n + q < 2**29.
 
     Returns (idx, found[, vals]): idx int32 = matching table row
     (arbitrary where not found), found bool; vals int32 if table_vals.
