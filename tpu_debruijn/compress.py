@@ -59,12 +59,19 @@ def resolve_edges(
     exts,
     n_valid,
     join_labels=None,
+    return_candidates: bool = False,
 ):
     """Per-kmer merge partners for both directions.
 
     Returns dict with, for d in {L, R}:
       partner_d: (n,) int32 target index or -1
       in_d:      (n,) int32 stored side of the target the edge enters (0/1)
+
+    With ``return_candidates``, the PRE-mutuality candidate edges are
+    returned instead (every reference merge condition applied except the
+    CompressionSpec join_test and the reverse-edge mutuality pass) — the
+    hook for arbitrary host-evaluated join_test predicates
+    (:func:`compress_kmers_rich`).
     """
     n = kmers.shape[0]
     idx_self = jnp.arange(n, dtype=jnp.int32)
@@ -128,8 +135,22 @@ def resolve_edges(
         partners[d] = jnp.where(ok, j, -1)
         ins[d] = in_d
 
-    # enforce mutuality: the reverse half-edge must point back at us.
-    # Both directions' partner arrays ride one (n, 2) row gather.
+    if return_candidates:
+        return {
+            "partner_l": partners[LEFT],
+            "in_l": ins[LEFT],
+            "partner_r": partners[RIGHT],
+            "in_r": ins[RIGHT],
+        }
+    return _enforce_mutual(partners, ins)
+
+
+def _enforce_mutual(partners, ins):
+    """Keep only edges whose reverse half-edge points back (the
+    incoming-unique symmetry of compression.rs:422-435); one (n, 2) row
+    gather covers both directions."""
+    n = partners[LEFT].shape[0]
+    idx_self = jnp.arange(n, dtype=jnp.int32)
     pmat = jnp.stack([partners[LEFT], partners[RIGHT]], axis=1)
     out = {}
     for d in (LEFT, RIGHT):
@@ -456,6 +477,39 @@ def _compress_jit(spec, stranded, use_join, kmers, exts, n_valid, join_labels):
     )
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _edge_candidates_jit(spec, stranded, kmers, exts, n_valid):
+    return resolve_edges(
+        spec, stranded, kmers, exts, n_valid, return_candidates=True
+    )
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _finalize_compress_jit(
+    spec, kmers, exts, n_valid, cand_l, cand_r, in_l, in_r, join_l, join_r
+):
+    """Second half of the rich path: apply the host-evaluated join masks,
+    enforce mutuality, link chains, and derive end exts + contributed
+    bases — mirrors compress_kmer_table_device after resolve_edges."""
+    n = cand_l.shape[0]
+    partners = {
+        LEFT: jnp.where(join_l, cand_l, -1),
+        RIGHT: jnp.where(join_r, cand_r, -1),
+    }
+    edges = _enforce_mutual(partners, {LEFT: in_l, RIGHT: in_r})
+    valid = jnp.arange(n, dtype=jnp.int32) < n_valid
+    chains = link_chains(
+        edges["partner_l"], edges["partner_r"], edges["in_l"], edges["in_r"], valid
+    )
+    u_exts = unitig_end_exts(exts, chains)
+    contrib = jnp.where(
+        chains.flip,
+        (~KM.first_base(spec, kmers)) & np.uint32(3),
+        KM.last_base(spec, kmers),
+    )
+    return chains, u_exts, contrib
+
+
 class CompressionSpec:
     """Pluggable unitig-merge policy (compression.rs:34-38).
 
@@ -540,6 +594,177 @@ def _fold_closure(fn, vals, uid, pos, n_unitigs):
         u = int(uid[i])
         acc[u] = int(vals[i]) if acc[u] is None else fn(acc[u], int(vals[i]))
     return np.asarray([0 if a is None else a for a in acc], np.int32)
+
+
+def _fold_objects(fn, payloads, idxs, uid, pos, n_unitigs):
+    """Fold arbitrary payload OBJECTS per unitig in path order.
+
+    ``idxs[i]`` maps compacted row i back to its payload; the accumulator
+    starts as the leftmost item's payload object itself, so ``fn`` must
+    not mutate its arguments (return a new object) — the generic-D analog
+    of build_node's reduce fold (compression.rs:510,531), valid for
+    associative + commutative reduces.
+    """
+    order = np.lexsort((pos, uid))
+    acc = [None] * n_unitigs
+    seen = [False] * n_unitigs
+    for i in order:
+        u = int(uid[i])
+        o = payloads[int(idxs[i])]
+        if not seen[u]:
+            acc[u] = o
+            seen[u] = True
+        else:
+            acc[u] = fn(acc[u], o)
+    return acc
+
+
+def compress_kmers_rich(
+    table,
+    payloads,
+    spec=None,
+    *,
+    reduce=None,
+    join_test=None,
+):
+    """Generic-``D`` path compression: the reference trait's FULL power
+    (CompressionSpec<D>, compression.rs:34-38) — arbitrary Python payload
+    objects, an arbitrary ``reduce(acc, item) -> acc`` closure, and an
+    arbitrary ``join_test(d1, d2) -> bool`` predicate.
+
+    ``payloads`` is a length-n list aligned with ``table`` rows (e.g. the
+    label sets from :func:`tpu_debruijn.filter.filter_kmers_set`).
+    ``spec`` may be any object with ``.reduce``/``.join_test`` methods
+    (duck-typed like the Rust trait); or pass the callables directly.
+
+    Mechanics: edge candidates are resolved on device with every merge
+    condition except the join test (resolve_edges with
+    ``return_candidates``); the join predicate is evaluated host-side on
+    the <= 2n candidate edges only (the reference also calls join_test
+    once per extension attempt, compression.rs:426); masks go back to the
+    device for mutuality + chain linking; payloads are folded per unitig
+    in path order.
+
+    Requirements matching the data-parallel model: ``join_test`` must be
+    symmetric and ``reduce`` associative + commutative (true of every
+    spec the reference ships or tests); ``reduce`` must not mutate its
+    arguments.
+
+    Returns list of (bases uint8, exts int, payload) per unitig.
+    """
+    kspec = table.spec
+    n = len(table.kmers)
+    if n == 0:
+        return []
+    if spec is not None:
+        reduce = spec.reduce
+        join_test = spec.join_test
+    if reduce is None:
+        reduce = lambda a, b: a
+    kmers = jnp.asarray(table.kmers)
+    exts = jnp.asarray(table.exts)
+    cand = _edge_candidates_jit(kspec, table.stranded, kmers, exts, jnp.int32(n))
+    join_l = np.ones(n, bool)
+    join_r = np.ones(n, bool)
+    if join_test is not None:
+        for key, jm in (("partner_l", join_l), ("partner_r", join_r)):
+            arr = np.asarray(cand[key])
+            for i in np.nonzero(arr >= 0)[0]:
+                jm[i] = bool(join_test(payloads[int(i)], payloads[int(arr[i])]))
+    chains, u_exts, contrib = _finalize_compress_jit(
+        kspec, kmers, exts, jnp.int32(n),
+        cand["partner_l"], cand["partner_r"], cand["in_l"], cand["in_r"],
+        jnp.asarray(join_l), jnp.asarray(join_r),
+    )
+    uid = np.asarray(chains.uid)
+    pos = np.asarray(chains.pos)
+    nutg = int(chains.n_unitigs)
+    seq_flat, out_lengths, u_exts_t, _ = assemble_unitigs_flat(
+        kspec, table.kmers, uid, pos, np.asarray(chains.flip),
+        np.asarray(chains.length), np.asarray(chains.first_item),
+        np.asarray(chains.first_flip), nutg, np.asarray(u_exts),
+        np.asarray(contrib), np.zeros(n, np.int32), data_reduce="first",
+    )
+    live = np.nonzero(uid >= 0)[0]
+    objs = _fold_objects(reduce, payloads, live, uid[live], pos[live], nutg)
+    offsets = np.zeros(nutg + 1, np.int64)
+    np.cumsum(out_lengths, out=offsets[1:])
+    return [
+        (seq_flat[offsets[u] : offsets[u + 1]], int(u_exts_t[u]), objs[u])
+        for u in range(nutg)
+    ]
+
+
+def compress_kmers_color_sets(
+    table,
+    pair_label: np.ndarray,
+    split: np.ndarray,
+    *,
+    join_on_sets: bool = False,
+):
+    """Fold CountFilterSet color sets through compression AT SCALE — no
+    per-kmer Python objects, no per-edge Python calls.
+
+    The per-kmer data is a sorted label set in array form
+    (:func:`tpu_debruijn.filter.filter_kmers_set_arrays` output: row i's
+    set is ``pair_label[split[i]:split[i+1]]``); the per-unitig data is
+    the sorted UNION of its kmers' sets — exactly the reference pattern
+    ``SimpleCompress(|mut a, b| { a.extend(b); a })`` + sort/dedup over
+    `Vec<u8>` colors (compression.rs:40-65 applied to filter.rs:68-101
+    data).  With ``join_on_sets``, kmers merge only when their sets are
+    IDENTICAL (ScmapCompress<Vec<D>> semantics, compression.rs:68-98),
+    decided via eq-class ids — one equality-label device pass.
+
+    Returns (nodes, out_labels, out_split): ``nodes`` is the usual
+    [(bases, exts, data)] list (data = eq-class id when ``join_on_sets``
+    else 0); unitig u's color set is
+    ``out_labels[out_split[u]:out_split[u+1]]`` (sorted, deduplicated).
+    """
+    from tpu_debruijn.filter import assign_eq_classes
+
+    kspec = table.spec
+    n = len(table.kmers)
+    if n == 0:
+        return [], np.zeros(0, np.int32), np.zeros(1, np.int64)
+    split = np.asarray(split, np.int64)
+    pair_label = np.asarray(pair_label, np.int32)
+    lens = np.diff(split)
+    if join_on_sets:
+        pair_kmer = np.repeat(np.arange(n, dtype=np.int64), lens)
+        ids, _ = assign_eq_classes(pair_kmer, pair_label, n)
+        labels = ids
+    else:
+        labels = np.zeros(n, np.int32)
+    chains, u_exts, contrib = _compress_jit(
+        kspec, table.stranded, join_on_sets,
+        jnp.asarray(table.kmers), jnp.asarray(table.exts), jnp.int32(n),
+        jnp.asarray(labels),
+    )
+    uid = np.asarray(chains.uid)
+    pos = np.asarray(chains.pos)
+    nutg = int(chains.n_unitigs)
+    nodes = assemble_unitigs(
+        kspec, table.kmers, uid, pos, np.asarray(chains.flip),
+        np.asarray(chains.length), np.asarray(chains.first_item),
+        np.asarray(chains.first_flip), nutg, np.asarray(u_exts),
+        np.asarray(contrib), labels, data_reduce="first",
+    )
+    # per-unitig set union: route every (kmer, label) pair to its unitig
+    # and unique — one vectorized sort, no per-unitig loop
+    slot_of_pair = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pu = uid[slot_of_pair]
+    keep = pu >= 0
+    if keep.any():
+        pairs = np.unique(
+            np.stack([pu[keep].astype(np.int64), pair_label[keep].astype(np.int64)], axis=1),
+            axis=0,
+        )
+        out_split = np.searchsorted(pairs[:, 0], np.arange(nutg + 1)).astype(np.int64)
+        out_labels = pairs[:, 1].astype(np.int32)
+    else:
+        out_split = np.zeros(nutg + 1, np.int64)
+        out_labels = np.zeros(0, np.int32)
+    return nodes, out_labels, out_split
 
 
 def infer_exts_device(spec: KmerSpec, stranded: bool, kmers, n_valid):
