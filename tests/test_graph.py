@@ -434,3 +434,21 @@ def test_max_path_beam_cyclic_terminates(rng):
     # cycle closer)
     assert len(ids) >= 2
     assert len(ids) - len(set(ids)) <= 1
+
+
+def test_is_compressed_join_test(rng):
+    """is_compressed's spec.join_test hook (graph.rs:296-334): a pair that
+    is mergeable topologically but fails the join test is NOT reported."""
+    k = 16
+    seq = rng.integers(0, 4, 40).astype(np.uint8)
+    tab = F.filter_kmers([(seq, 0, 0)], k, stranded=True, min_obs=1)
+    # per-kmer graph with alternating labels: every adjacent pair differs
+    base = G.BaseGraph(k, True)
+    for i in range(len(tab)):
+        base.add(KM.to_bases(tab.spec, tab.kmers[i]), int(tab.exts[i]), i % 2)
+    g = base.finish()
+    assert g.is_compressed() is not None
+    # a join test that rejects every pair suppresses the report
+    assert g.is_compressed(join_test=lambda a, b: False) is None
+    # an accepting join test reports the same first pair as the default
+    assert g.is_compressed(join_test=lambda a, b: True) == g.is_compressed()
