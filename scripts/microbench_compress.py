@@ -64,9 +64,17 @@ def main():
     n, w = args.n, spec.w
     rng = np.random.default_rng(0)
 
-    # build a realistic sorted valid kmer table: one long genome's kmers
-    genome = rng.integers(0, 4, n + args.k - 1).astype(np.uint8)
-    reads = [(genome, 0, 0)]
+    # build a realistic sorted valid kmer table covering a genome of ~n
+    # unique kmers, via short reads (the proven extraction shapes —
+    # single chromosome-length reads hit pathological compile times on
+    # the remote-compile helper)
+    L = 160
+    glen = int(n * 1.02) + L
+    genome = rng.integers(0, 4, glen).astype(np.uint8)
+    step = L - args.k  # consecutive reads overlap by k-1: full coverage
+    starts = np.arange(0, glen - L, step)
+    reads = [(genome[s : s + L], 0, 0) for s in starts]
+    print(f"{len(reads)} reads", file=sys.stderr, flush=True)
     tab = F.filter_kmers(reads, args.k, stranded=False, min_obs=1)
     kmers = jnp.asarray(tab.kmers)
     exts = jnp.asarray(tab.exts)
