@@ -61,31 +61,51 @@ def main():
         return timed_enqueue(fn, a, args.iters, sync, force)
 
     spec = KmerSpec(args.k)
-    n, w = args.n, spec.w
+    w = spec.w
     rng = np.random.default_rng(0)
 
-    # build a realistic sorted valid kmer table covering a genome of ~n
-    # unique kmers, via short reads (the proven extraction shapes —
-    # single chromosome-length reads hit pathological compile times on
-    # the remote-compile helper)
-    L = 160
-    glen = int(n * 1.02) + L
+    # build the table at the PADDED device shapes (r * lk rows, same as
+    # profile_stages.py — trimmed odd-size tables hit pathological
+    # compile times through the remote-compile helper)
+    L, r = 160, 8192
+    lk = L - args.k + 1
+    n = r * lk
+    glen = 1_200_000
     genome = rng.integers(0, 4, glen).astype(np.uint8)
     step = L - args.k  # consecutive reads overlap by k-1: full coverage
-    starts = np.arange(0, glen - L, step)
-    reads = [(genome[s : s + L], 0, 0) for s in starts]
-    print(f"{len(reads)} reads", file=sys.stderr, flush=True)
-    tab = F.filter_kmers(reads, args.k, stranded=False, min_obs=1)
-    kmers = jnp.asarray(tab.kmers)
-    exts = jnp.asarray(tab.exts)
-    nv = jnp.int32(len(tab.kmers))
-    res["n_valid"] = int(len(tab.kmers))
-    print(f"table: {len(tab.kmers)} kmers", file=sys.stderr, flush=True)
+    cover = np.arange(0, glen - L, step)
+    if len(cover) >= r:
+        starts = cover[:r]
+    else:
+        starts = np.concatenate(
+            [cover, rng.integers(0, glen - L, r - len(cover))]
+        )
+    bases = genome[starts[:, None] + np.arange(L)[None, :]]
+    dev = F._count_kmers_jit(
+        spec, False, 1, "none", False,
+        jnp.asarray(bases), jnp.full(r, L, jnp.int32),
+        jnp.zeros(r, jnp.int32), jnp.zeros(r, jnp.int32),
+    )
+    kmers = dev.kmers
+    exts = dev.exts
+    nv = dev.n_valid
+    res["n_rows"] = n
+    res["n_valid"] = int(nv)
+    print(f"table: {n} rows, {int(nv)} valid", file=sys.stderr, flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "artifacts", "microbench_compress.json")
+
+    def flush_res():
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+            f.write("\n")
 
     # --- resolve_edges total
     f_re = jax.jit(lambda km, ex, v: C.resolve_edges(spec, False, km, ex, v))
     res["resolve_edges_ms"] = round(t(f_re, kmers, exts, nv) * 1e3, 2)
     print("resolve_edges", res["resolve_edges_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     # --- candidate construction only (extends + canon + palindromes)
     def cand_only(km, ex):
@@ -104,6 +124,7 @@ def main():
 
     res["candidates_ms"] = round(t(jax.jit(cand_only), kmers, exts) * 1e3, 2)
     print("candidates", res["candidates_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     # --- the join alone: 2n queries against the table
     qrs = jnp.concatenate([kmers, kmers], axis=0)  # shape stand-in
@@ -113,10 +134,12 @@ def main():
     )
     res["sort_join_2n_ms"] = round(t(f_join, kmers, qrs, nv, exts) * 1e3, 2)
     print("sort_join", res["sort_join_2n_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     f_ss = jax.jit(lambda tk, q, v: S.searchsorted_limbs(tk, q, v))
     res["searchsorted_2n_ms"] = round(t(f_ss, kmers, qrs, nv) * 1e3, 2)
     print("searchsorted", res["searchsorted_2n_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     # --- full compress + link_chains
     f_cc = jax.jit(
@@ -124,6 +147,7 @@ def main():
     )
     res["compress_total_ms"] = round(t(f_cc, kmers, exts, nv) * 1e3, 2)
     print("compress_total", res["compress_total_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     edges = f_re(kmers, exts, nv)
     valid = jnp.arange(kmers.shape[0], dtype=jnp.int32) < nv
@@ -135,6 +159,7 @@ def main():
           edges["in_r"], valid) * 1e3, 2,
     )
     print("link_chains", res["link_chains_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     # --- _rank_all alone at m = 2n
     m = 2 * kmers.shape[0]
@@ -147,6 +172,7 @@ def main():
     f_rank = jax.jit(lambda s, mn: C._rank_all(s, mn))
     res["rank_all_ms"] = round(t(f_rank, succ0, mnmo0) * 1e3, 2)
     print("rank_all", res["rank_all_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     # --- primitives
     a0 = jnp.asarray(rng.integers(0, 2**31, 3 * n, np.int64).astype(np.int32))
@@ -155,29 +181,28 @@ def main():
     f_sort3 = jax.jit(lambda x, y, z: jax.lax.sort([x, y, z], num_keys=2))
     res["sort_3n_x3_ms"] = round(t(f_sort3, a0, a1, a2) * 1e3, 2)
     print("sort3n", res["sort_3n_x3_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     idx = jnp.asarray(rng.integers(0, m, m, np.int64).astype(np.int32))
     x4 = jnp.asarray(rng.integers(0, 2**31, (m, 4), np.int64).astype(np.int32))
     f_g4 = jax.jit(lambda x, i: x[i])
     res["gather_m_x4_ms"] = round(t(f_g4, x4, idx) * 1e3, 2)
     print("gather(m,4)", res["gather_m_x4_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     idx2 = jnp.asarray(rng.integers(0, n, 2 * n, np.int64).astype(np.int32))
     x2 = jnp.asarray(rng.integers(0, 2**31, (n, 2), np.int64).astype(np.int32))
     f_g2 = jax.jit(lambda x, i: x[i])
     res["gather_2n_rows_ms"] = round(t(f_g2, x2, idx2) * 1e3, 2)
     print("gather2n", res["gather_2n_rows_ms"], file=sys.stderr, flush=True)
+    flush_res()
 
     # rank_all round count estimate
     import math
     res["rank_rounds"] = max(1, math.ceil(math.log2(m + 1)))
 
-    out = json.dumps(res, indent=1)
-    print(out)
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "artifacts", "microbench_compress.json")
-    with open(path, "w") as f:
-        f.write(out + "\n")
+    print(json.dumps(res, indent=1))
+    flush_res()
 
 
 if __name__ == "__main__":

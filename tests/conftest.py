@@ -14,7 +14,12 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("TPU_DEBRUIJN_TEST_BACKEND", "cpu") == "tpu":
+    # silicon run (scripts/run_tpu_tests.py): leave the preconfigured
+    # axon,cpu platform list so the parity subset executes on the chip
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite is dominated by CPU XLA compiles of
 # shape-specialized programs; cache them across runs
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")

@@ -196,3 +196,37 @@ def test_seq_slice_kmers_match_owned(rng):
     got = [KM.to_int(KmerSpec(k), x) for x in v.iter_kmers(k)]
     want = [KM.to_int(KmerSpec(k), x) for x in owned.iter_kmers(k)]
     assert got == want
+
+
+def test_packed_seqset_density_and_roundtrip(rng):
+    """PackedSeqSet stores 2-bit packed words (dna_string.rs:72 parity,
+    VERDICT r3 item 6): resident storage is ~4x smaller than uint8 codes
+    and every accessor matches the unpacked truth."""
+    from tpu_debruijn.dna import PackedSeqSet
+
+    seqs = [rng.integers(0, 4, int(rng.integers(1, 100))).astype(np.uint8)
+            for _ in range(200)]
+    s = PackedSeqSet.from_arrays(seqs)
+    total = sum(len(q) for q in seqs)
+    assert s.total_bases() == total
+    # resident packed words: 2 bits/base
+    assert s.packed_words().nbytes <= (total // 16 + 2) * 4
+    for i in (0, 1, 57, 199):
+        assert np.array_equal(s.get_bases(i), seqs[i])
+    assert np.array_equal(s._flat(), np.concatenate(seqs))
+
+    # incremental consolidation across add_flat boundaries (mid-word tail)
+    s2 = PackedSeqSet()
+    s2.add_flat(np.concatenate(seqs[:3]), [len(q) for q in seqs[:3]])
+    _ = s2.length  # force consolidation mid-stream
+    s2.add_flat(np.concatenate(seqs[3:7]), [len(q) for q in seqs[3:7]])
+    for i in range(7):
+        assert np.array_equal(s2.get_bases(i), seqs[i])
+
+    # packed <-> from_packed roundtrip
+    s3 = PackedSeqSet.from_packed(s.packed_words(), [len(q) for q in seqs])
+    for i in (0, 42, 199):
+        assert np.array_equal(s3.get_bases(i), seqs[i])
+    # appends after a packed load keep alignment
+    s3.add(seqs[0])
+    assert np.array_equal(s3.get_bases(200), seqs[0])

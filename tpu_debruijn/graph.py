@@ -732,7 +732,9 @@ class DebruijnGraph:
             k=self.spec.k,
             stranded=self.stranded,
             lengths=np.asarray(self.base.sequences.length, np.int64),
-            bases=self.base.sequences._flat(),
+            # 2-bit packed words, 4x denser than uint8 codes — matches
+            # the reference's packed serialization (dna_string.rs:72)
+            bases_packed=self.base.sequences.packed_words(),
             exts=np.asarray(self.exts, np.int32),
             data=np.asarray(self.data, np.int32),
             **extra,
@@ -740,6 +742,8 @@ class DebruijnGraph:
 
     @staticmethod
     def load(path) -> "DebruijnGraph":
+        from tpu_debruijn.dna import PackedSeqSet
+
         z = np.load(path)
         g = BaseGraph(int(z["k"]), bool(z["stranded"]))
         rich = None
@@ -749,7 +753,14 @@ class DebruijnGraph:
                 tuple(int(x) for x in flat[split[i] : split[i + 1]])
                 for i in range(len(split) - 1)
             ]
-        g.add_flat(z["bases"], z["lengths"], z["exts"], z["data"], rich=rich)
+        if "bases_packed" in z:
+            g.sequences = PackedSeqSet.from_packed(z["bases_packed"], z["lengths"])
+            g._exts_chunks.append(np.asarray(z["exts"], np.int32))
+            g._data_chunks.append(np.asarray(z["data"], np.int32))
+            if rich is not None:
+                g._rich = rich
+        else:  # legacy unpacked checkpoints
+            g.add_flat(z["bases"], z["lengths"], z["exts"], z["data"], rich=rich)
         return g.finish()
 
 
