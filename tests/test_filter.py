@@ -251,3 +251,30 @@ def test_streaming_device_merge_rejects_labels():
         F.filter_kmers_streaming(
             iter([]), 31, merge="device", data_reduce="label_first"
         )
+
+
+def test_streaming_device_merge_u_overflow_replay(rng):
+    """Chunk-unique capacity (U) overflow: the guarded merge drops the
+    chunk, the lagged confirmation detects it, grows U, and replays —
+    the final table must still equal the single-pass result exactly."""
+    from tpu_debruijn import filter as F
+
+    g = rng.integers(0, 4, 3000).astype(np.uint8)
+    reads = []
+    for _ in range(120):
+        s = int(rng.integers(0, 2900))
+        r = g[s : s + 90].copy()
+        if rng.random() < 0.5:
+            r = (3 - r)[::-1]
+        reads.append((r, 0, 0))
+    ref = F.filter_kmers(reads, 31, stranded=False, min_obs=1)
+    # unique_capacity=64 << per-chunk uniques (32 reads x 60 kmers):
+    # EVERY chunk overflows U at least once and goes through replay
+    dev = F.filter_kmers_streaming(
+        iter(reads), 31, stranded=False, min_obs=1, chunk_reads=32,
+        data_reduce="none", merge="device", init_capacity=256,
+        unique_capacity=64,
+    )
+    assert np.array_equal(dev.kmers, ref.kmers)
+    assert np.array_equal(dev.counts, ref.counts)
+    assert np.array_equal(dev.exts, ref.exts)

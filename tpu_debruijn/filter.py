@@ -1134,6 +1134,38 @@ def _seg_sum_or_suffix(packed, is_end):
     return (jax.lax.associative_scan(comb, x) & ~_MERGE_FLAG)[::-1]
 
 
+def _merge_sorted_core(spec, cols, val_all, pay_all, c_out):
+    """Shared tail of the device merges: one sort over the concatenated
+    rows, packed (count<<8)|exts segmented suffix reduce, partition of
+    run starts; output trimmed to ``c_out`` rows."""
+    w = spec.w
+    if spec.pad >= 1:
+        flag = jnp.where(val_all, np.uint32(0), np.uint32(1 << 31))
+        keys = [cols[0] | flag] + cols[1:]
+        out = jax.lax.sort(keys + [pay_all], num_keys=w, is_stable=False)
+        svalid = (out[0] >> np.uint32(31)) == 0
+        slimbs = [out[0] & spec.top_mask] + list(out[1:w])
+    else:
+        inv = (~val_all).astype(jnp.uint32)
+        out = jax.lax.sort([inv] + cols + [pay_all], num_keys=w + 1,
+                           is_stable=False)
+        svalid = out[0] == 0
+        slimbs = list(out[1 : w + 1])
+    spacked = out[-1]
+
+    starts = S.run_starts(slimbs, svalid)
+    nxt_boundary = jnp.concatenate(
+        [starts[1:] | ~svalid[1:], jnp.ones(1, bool)]
+    )
+    is_end = svalid & nxt_boundary
+    agg = _seg_sum_or_suffix(spacked, is_end)
+    n_new = starts.sum().astype(jnp.int32)
+    _, vout = S.partition(starts, slimbs + [agg])
+    new_kmers = S.keys_to_limbs([v[:c_out] for v in vout[:w]])
+    new_packed = vout[w][:c_out]
+    return new_kmers, new_packed, n_new
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _merge_chunk_jit(spec, stranded, s_kmers, s_packed, s_n,
                      bases, lengths, seq_exts):
@@ -1161,32 +1193,45 @@ def _merge_chunk_jit(spec, stranded, s_kmers, s_packed, s_n,
     cols = [
         jnp.concatenate([s_kmers[:, i], kf[:, i]]) for i in range(w)
     ]
-    if spec.pad >= 1:
-        flag = jnp.where(val_all, np.uint32(0), np.uint32(1 << 31))
-        keys = [cols[0] | flag] + cols[1:]
-        out = jax.lax.sort(keys + [pay_all], num_keys=w, is_stable=False)
-        svalid = (out[0] >> np.uint32(31)) == 0
-        slimbs = [out[0] & spec.top_mask] + list(out[1:w])
-    else:
-        inv = (~val_all).astype(jnp.uint32)
-        out = jax.lax.sort([inv] + cols + [pay_all], num_keys=w + 1,
-                           is_stable=False)
-        svalid = out[0] == 0
-        slimbs = list(out[1 : w + 1])
-    spacked = out[-1]
+    return _merge_sorted_core(spec, cols, val_all, pay_all, c)
 
-    starts = S.run_starts(slimbs, svalid)
-    n = svalid.shape[0]
-    nxt_boundary = jnp.concatenate(
-        [starts[1:] | ~svalid[1:], jnp.ones(1, bool)]
-    )
-    is_end = svalid & nxt_boundary
-    agg = _seg_sum_or_suffix(spacked, is_end)
-    n_new = starts.sum().astype(jnp.int32)
-    _, vout = S.partition(starts, slimbs + [agg])
-    new_kmers = S.keys_to_limbs([v[:c] for v in vout[:w]])
-    new_packed = vout[w][:c]
-    return new_kmers, new_packed, n_new
+
+@partial(jax.jit, static_argnums=(0,))
+def _merge_tables_jit(spec, s_kmers, s_packed, s_n, c_kmers, c_exts,
+                      c_counts, c_n):
+    """Merge a PRE-DEDUPED sorted chunk table into the device-resident
+    accumulated table: a C + U row program (U = chunk-unique capacity)
+    instead of C + R*Lk — the two-level shape that keeps every compiled
+    program small no matter how the corpus grows (VERDICT r3 next-step
+    2).  The chunk dedupe itself is the already-compiled count program.
+
+    SELF-GUARDING: if the merged unique count exceeds C, or the chunk's
+    unique count exceeds U (its rows were truncated by the caller's
+    slice), the state is returned UNCHANGED — the caller detects the
+    dropped merge from the returned (n_new, c_n) diagnostics (possibly
+    several chunks later, so readbacks never block the stream), grows
+    capacity, and replays exactly the dropped chunks.
+
+    Returns (kmers (C, W), packed (C,), n, n_new, applied).
+    """
+    w = spec.w
+    c = s_kmers.shape[0]
+    u = c_kmers.shape[0]
+    c_packed = (jnp.minimum(c_counts, 65535) << 8) | (c_exts & 0xFF)
+    val_all = jnp.concatenate([
+        jnp.arange(c, dtype=jnp.int32) < s_n,
+        jnp.arange(u, dtype=jnp.int32) < jnp.minimum(c_n, u),
+    ])
+    pay_all = jnp.concatenate([s_packed, c_packed])
+    cols = [
+        jnp.concatenate([s_kmers[:, i], c_kmers[:, i]]) for i in range(w)
+    ]
+    nk, npk, n_new = _merge_sorted_core(spec, cols, val_all, pay_all, c)
+    ok = (n_new <= c) & (c_n <= u)
+    out_k = jnp.where(ok, nk, s_kmers)
+    out_p = jnp.where(ok, npk, s_packed)
+    out_n = jnp.where(ok, n_new, s_n)
+    return out_k, out_p, out_n, n_new, ok
 
 
 def _merge_sorted_parts(spec: KmerSpec, plist, data_reduce: str):
@@ -1235,6 +1280,7 @@ def filter_kmers_streaming(
     memory_gb: Optional[float] = None,
     merge: str = "host",
     init_capacity: int = 1 << 20,
+    unique_capacity: Optional[int] = None,
 ) -> KmerTable:
     """Memory-bounded streaming counting (filter.rs:151-183 equivalent).
 
@@ -1288,37 +1334,87 @@ def filter_kmers_streaming(
                 "merge='device' supports data_reduce='none' only (labels "
                 "cannot ride the device merge); use merge='host'"
             )
-        dstate = {"kmers": None, "packed": None, "n": None, "C": init_capacity}
+        dstate = {
+            "kmers": None, "packed": None, "n": None, "C": init_capacity,
+            # chunk-unique capacity: the merge program is C + U rows —
+            # two-level shape, every compiled program stays small no
+            # matter how the corpus grows
+            "U": unique_capacity or max(1 << 16, init_capacity // 2),
+            # deferred-confirmation machinery: merges are self-guarding
+            # no-ops on overflow; diagnostics are read back LAGGED and
+            # BATCHED so the stream never blocks on the tunnel per chunk
+            "pending": [],  # (chunk numpy tuple, n_new dev, applied dev)
+            "confirm_every": 8,
+        }
 
-    def run_device_merge(arr, lengths, seq_exts, labels):
+    def _dev_init():
         if dstate["kmers"] is None:
             c0 = dstate["C"]
             dstate["kmers"] = jnp.zeros((c0, spec.w), jnp.uint32)
             dstate["packed"] = jnp.zeros(c0, jnp.int32)
             dstate["n"] = jnp.int32(0)
-        da, dl, de = map(jnp.asarray, (arr, lengths, seq_exts))
-        while True:
-            nk, npk, nn = _merge_chunk_jit(
-                spec, stranded, dstate["kmers"], dstate["packed"], dstate["n"],
-                da, dl, de,
+
+    def _dev_stage(chunk_np):
+        """Enqueue dedupe + guarded merge of one chunk; no host sync."""
+        arr, lengths, seq_exts, labels = chunk_np
+        da, dl, de, dlab = map(jnp.asarray, chunk_np)
+        dev = _count_kmers_jit(
+            spec, stranded, 1, "none", False, da, dl, de, dlab
+        )
+        u = min(dstate["U"], dev.kmers.shape[0])
+        nk, npk, nn, n_new, ok = _merge_tables_jit(
+            spec, dstate["kmers"], dstate["packed"], dstate["n"],
+            dev.kmers[:u], dev.exts[:u], dev.counts[:u], dev.n_valid,
+        )
+        dstate["kmers"], dstate["packed"], dstate["n"] = nk, npk, nn
+        dstate["pending"].append((chunk_np, n_new, dev.n_valid, ok))
+
+    def _dev_confirm(force=False):
+        """Read pending diagnostics in ONE batched transfer; grow + replay
+        exactly the dropped chunks (state is unchanged by dropped merges,
+        and merges of distinct chunks commute, so replay is exact)."""
+        if not dstate["pending"]:
+            return
+        if not force and len(dstate["pending"]) < dstate["confirm_every"]:
+            return
+        pend = dstate["pending"]
+        dstate["pending"] = []
+        diag = np.asarray(
+            jnp.stack(
+                [jnp.stack([nn, cn, ok.astype(jnp.int32)]) for _, nn, cn, ok in pend]
             )
-            n_new = int(nn)
-            if n_new <= dstate["C"]:
-                dstate["kmers"], dstate["packed"], dstate["n"] = nk, npk, nn
-                return
-            # overflow: grow capacity (pow2) and retry the SAME chunk —
-            # the old state was not donated, so it is still intact
+        )
+        dropped = [pend[i][0] for i in range(len(pend)) if diag[i, 2] == 0]
+        if not dropped:
+            return
+        need_c = int(diag[:, 0].max())
+        need_u = int(diag[:, 1].max())
+        while dstate["U"] < need_u:
+            dstate["U"] *= 2
+        if need_c > dstate["C"]:
             c2 = dstate["C"]
-            while c2 < n_new:
+            while c2 < need_c:
                 c2 *= 2
             log.info(
                 "filter_kmers_streaming[device]: growing table capacity "
-                "%d -> %d", dstate["C"], c2,
+                "%d -> %d (U=%d)", dstate["C"], c2, dstate["U"],
             )
             pad = c2 - dstate["C"]
             dstate["kmers"] = jnp.pad(dstate["kmers"], ((0, pad), (0, 0)))
             dstate["packed"] = jnp.pad(dstate["packed"], ((0, pad),))
             dstate["C"] = c2
+        log.info(
+            "filter_kmers_streaming[device]: replaying %d dropped chunk(s)",
+            len(dropped),
+        )
+        for chunk_np in dropped:
+            _dev_stage(chunk_np)
+        _dev_confirm(force=True)
+
+    def run_device_merge(arr, lengths, seq_exts, labels):
+        _dev_init()
+        _dev_stage((arr, lengths, seq_exts, labels))
+        _dev_confirm()
 
     def run_device(arr, lengths, seq_exts, labels):
         if merge == "device":
@@ -1455,6 +1551,7 @@ def filter_kmers_streaming(
                 np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
                 np.zeros(0, np.int32), np.zeros(0, np.int32),
             )
+        _dev_confirm(force=True)
         n = int(dstate["n"])
         nb = 256
         while nb < n:
