@@ -219,6 +219,32 @@ def main():
         )
         t = count(*dargs)
         nv = int(np.asarray(t.n_valid))
+
+        # per-batch device merge into the corpus table (filter_kmers_
+        # streaming merge='device' shape): the work the r3 headline
+        # excluded.  State capacity C holds the corpus uniques; the
+        # chunk side is the deduped batch table sliced to U rows.
+        C = 1024
+        while C < 2 * nv:
+            C *= 2
+        U = 1024
+        while U < nv:
+            U *= 2
+        U = min(U, t.kmers.shape[0])
+        s_k = jnp.zeros((C, spec.w), jnp.uint32)
+        s_p = jnp.zeros(C, jnp.int32)
+
+        @jax.jit
+        def merge(sk, sp, sn, ck, ce, cc, cn, spec=spec):
+            return F._merge_tables_jit(spec, sk, sp, sn, ck, ce, cc, cn)
+
+        merge_s = timed_enqueue(
+            merge,
+            (s_k, s_p, jnp.int32(nv), t.kmers[:U], t.exts[:U],
+             t.counts[:U], t.n_valid),
+            iters, sync_latency,
+            lambda o: np.asarray(o[2]),
+        )
         # compression: runs ONCE per corpus on the merged table (the
         # reference's shape too: filter_kmers over all input, then one
         # compress_kmers_with_hash) — time it on a table right-sized to
@@ -236,9 +262,11 @@ def main():
         ch, _, _ = compress(*cargs)
         nu = int(np.asarray(ch.n_unitigs))
 
-        # corpus model: CORPUS_BATCHES count batches + one final compress
+        # corpus model: CORPUS_BATCHES x (count + device merge) + one
+        # final compress — NO excluded work (r3's headline dropped the
+        # table merge; the merge now runs on device per batch)
         corpus_kmers = CORPUS_BATCHES * n_kmers
-        e2e_s = CORPUS_BATCHES * count_s + compress_s
+        e2e_s = CORPUS_BATCHES * (count_s + merge_s) + compress_s
 
         # one-pass speed-of-light floor for counting: read every base once
         # (engine dtype int32 -> x4), write the unique table once
@@ -248,6 +276,8 @@ def main():
         matrix[name] = {
             "count_kmers_per_s": round(n_kmers / count_s, 1),
             "count_s_per_batch": round(count_s, 5),
+            "merge_s_per_batch": round(merge_s, 5),
+            "merge_capacity": [C, U],
             "compress_s": round(compress_s, 5),
             "compress_cap": cap,
             "corpus_kmers_per_s": round(corpus_kmers / e2e_s, 1),
@@ -277,13 +307,14 @@ def main():
                 "unit": "kmers/s",
                 "vs_baseline": round(tpu_rate / cpu_rate, 3),
                 "detail": {
-                    "corpus_model": "64 count batches + 1 compress "
-                                    "(reference usage shape).  Assumes one "
-                                    "batch saturates the genome's unique "
-                                    "set (true here: genome 100kb << batch "
-                                    "kmers), so the single-batch table is "
-                                    "the merged-corpus table; the host-side "
-                                    "merge of partial tables is excluded",
+                    "corpus_model": "64 x (count batch + device merge "
+                                    "into the corpus table) + 1 compress "
+                                    "(reference usage shape: filter_kmers "
+                                    "over all input, then one "
+                                    "compress_kmers_with_hash).  No "
+                                    "excluded work: the per-batch table "
+                                    "merge that r3's headline dropped now "
+                                    "runs on device and is counted",
                     "fused_frontend": bool(args.fused),
                     "n_reads": n_reads,
                     "read_len": L,

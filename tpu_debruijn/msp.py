@@ -257,6 +257,30 @@ def gather_interval_bases(k: int, p: int, bases, intervals):
 # ---------------------------------------------------------------------------
 
 
+def score_table_from_fn(p: int, fn) -> np.ndarray:
+    """Materialize an arbitrary p-mer score function as a 4^p table.
+
+    The reference Scanner takes any ``Fn(K) -> D`` score (msp.rs:166);
+    this engine scores via a rank-indexed table (``permutation`` in the
+    scan APIs is really the GENERAL score table — any total order, not
+    just permutations).  ``fn`` receives the (4^p,) uint32 array of all
+    p-mer lexicographic ranks and returns int scores (vectorized), or a
+    scalar Python callable applied per rank.  Requires p <= 13 (int32
+    table of 64M entries); the reference's own tests cap at p = 16 with
+    table-expressible scores (lexicographic, at_count — msp.rs:488-542).
+    """
+    if p > 13:
+        raise ValueError("score_table_from_fn requires p <= 13")
+    ranks = np.arange(4 ** p, dtype=np.uint32)
+    try:
+        out = np.asarray(fn(ranks), np.int32)
+        if out.shape != ranks.shape:
+            raise TypeError
+    except (TypeError, ValueError):
+        out = np.fromiter((fn(int(r)) for r in ranks), np.int32, len(ranks))
+    return out
+
+
 @partial(jax.jit, static_argnums=(0, 1, 4))
 def _msp_jit(k, p, bases, lengths, rc, permutation):
     iv = msp_intervals_device(k, p, bases, lengths, permutation, rc)
