@@ -166,8 +166,15 @@ def sort_join_limbs(sorted_limbs, n_valid, query_limbs, table_vals=None):
     else:
         res = lpos | jnp.where(found_here, _JOIN_FLAG, 0)
 
-    target = jnp.where(is_query, own - n, q)
-    gathered = jnp.zeros(q, jnp.int32).at[target].set(res, mode="drop")
+    if _JOIN_UNPERMUTE[0] == "sort":
+        # un-permute by ONE unstable 2-lane sort on the unique row id —
+        # rows n..tot-1 are the queries in original order (scatters lower
+        # poorly on TPU; A/B vs the scatter path via _JOIN_UNPERMUTE)
+        sout = jax.lax.sort([own, res], num_keys=1, is_stable=False)
+        gathered = sout[1][n:]
+    else:
+        target = jnp.where(is_query, own - n, q)
+        gathered = jnp.zeros(q, jnp.int32).at[target].set(res, mode="drop")
     idx = gathered & pos_mask
     found = gathered >= _JOIN_FLAG
     if table_vals is not None:
@@ -176,6 +183,13 @@ def sort_join_limbs(sorted_limbs, n_valid, query_limbs, table_vals=None):
         vals = table_vals.astype(jnp.int32)[jnp.clip(idx, 0, n - 1)] & 0xFF
         return idx, found, vals
     return idx, found
+
+
+# join un-permute strategy: "scatter" (one q-row scatter) or "sort" (one
+# unstable 2-lane sort over n+q rows).  Module-level so benches can A/B;
+# the default is chosen from TPU measurements (see
+# artifacts/microbench_compress.json).
+_JOIN_UNPERMUTE = ["scatter"]
 
 
 def run_starts(key_arrays, valid):
