@@ -62,7 +62,12 @@ def main():
                     help="device: table accumulates on-device, one final "
                          "transfer (the fast path); host: per-chunk table "
                          "pulls + LSM numpy merge")
-    ap.add_argument("--init-capacity", type=int, default=1 << 22)
+    ap.add_argument("--init-capacity", type=int, default=1 << 21)
+    ap.add_argument("--unique-capacity", type=int, default=1 << 20,
+                    help="chunk-unique cap U: the device merge program is "
+                         "C + U rows; defaults sized so the merge stays "
+                         "within the ~3.2M-row shapes known to compile "
+                         "on this image's remote helper")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +101,7 @@ def main():
         data_reduce="none" if args.merge == "device" else "label_first",
         merge=args.merge,
         init_capacity=args.init_capacity,
+        unique_capacity=args.unique_capacity,
     )
     t_count = time.time() - t0
     # partial artifact first: the compress program below is a fresh
@@ -116,16 +122,29 @@ def main():
     spec = table.spec
     import jax.numpy as jnp
 
+    # pad the table to a pow2-ish row count: odd-size sorts hit
+    # pathological compile times on the remote helper, and a padded
+    # shape can reuse the persistent compile cache across runs
+    n = len(table)
+    cap = 1 << 13
+    while cap < n:
+        cap *= 2
+    pk = np.zeros((cap, spec.w), np.uint32)
+    pk[:n] = table.kmers
+    pe = np.zeros(cap, np.int32)
+    pe[:n] = table.exts
     chains, u_exts, contrib = C._compress_jit(
-        spec, False, False, jnp.asarray(table.kmers), jnp.asarray(table.exts),
-        jnp.int32(len(table)), jnp.zeros(len(table), jnp.int32),
+        spec, False, False, jnp.asarray(pk), jnp.asarray(pe),
+        jnp.int32(n), jnp.zeros(cap, jnp.int32),
     )
     nutg = int(np.asarray(chains.n_unitigs))
+    pc = np.zeros(cap, np.int32)
+    pc[:n] = table.counts
     flat = C.assemble_unitigs_flat(
-        spec, table.kmers, np.asarray(chains.uid), np.asarray(chains.pos),
+        spec, pk, np.asarray(chains.uid), np.asarray(chains.pos),
         np.asarray(chains.flip), np.asarray(chains.length),
         np.asarray(chains.first_item), np.asarray(chains.first_flip),
-        nutg, np.asarray(u_exts), np.asarray(contrib), table.counts,
+        nutg, np.asarray(u_exts), np.asarray(contrib), pc,
     )
     g = from_flat_output(k, False, *flat)
     t_compress = time.time() - t0

@@ -358,15 +358,16 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
     emit_start = is_start & (mo == 0)
     n_unitigs = emit_start.sum().astype(jnp.int32)
 
-    # ONE stable sort compacts emitted chains into uid order (increasing
+    # ONE sort compacts emitted chains into uid order (increasing
     # chain-min-node — the reference's seed order, compression.rs:574):
     # row u < n_unitigs of the sorted payloads IS unitig u, so unitig
-    # metadata needs no scatters at all; chain-wide labels then flow
-    # through a single packed row-scatter/row-gather via the end state.
+    # metadata needs no scatters at all.  Emitted keys (chain mins) are
+    # unique, so the unstable sort is deterministic for every row read.
     sort_key = jnp.where(emit_start, mn, jnp.int32(n))
-    skey, (c_end, c_node, c_orient, c_dist) = S.sort_with_payload(
-        [sort_key], [end_id, node, orient, dist]
+    out_s = jax.lax.sort(
+        [sort_key, end_id, node, orient, dist], num_keys=1, is_stable=False
     )
+    c_end, c_node, c_orient, c_dist = out_s[1:]
     # Chains contract: per-unitig arrays are (n,)-sized, slot u < n_unitigs
     length_m = c_dist + 1  # full (m,) view, used by the end-state scatter
     length_u = length_m[:n]
@@ -375,17 +376,19 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
     last_item = (jnp.clip(c_end, 0, m - 1) >> 1)[:n]
     last_flip = (c_end & 1)[:n]
 
-    # uid + chain length at each chain's END state (one packed scatter),
-    # then every state reads them through its own end_id (one row gather)
+    # uid + chain length at each chain's END state, then every state
+    # reads them through its own end_id.  TWO 1-lane scatters/gathers:
+    # a single packed (m, 2) ROW scatter costs 168ms at m=2.1M on v5e
+    # (vs 10ms per 1-lane scatter) — XLA's row-scatter lowering is
+    # pathological (artifacts/microbench_compress2.json)
     uidx = jnp.arange(m, dtype=jnp.int32)
     live = uidx < n_unitigs
-    tbl = jnp.full((m, 2), -1, jnp.int32)
-    tbl = tbl.at[jnp.where(live, jnp.clip(c_end, 0, m - 1), m)].set(
-        jnp.stack([uidx, length_m], axis=1), mode="drop"
-    )
-    g = tbl[jnp.clip(end_id, 0, m - 1)]
-    uid_state = jnp.where(end_id >= 0, g[:, 0], -1)
-    chain_len = g[:, 1]
+    tpos = jnp.where(live, jnp.clip(c_end, 0, m - 1), m)
+    tbl_uid = jnp.full(m, -1, jnp.int32).at[tpos].set(uidx, mode="drop")
+    tbl_len = jnp.full(m, -1, jnp.int32).at[tpos].set(length_m, mode="drop")
+    ec = jnp.clip(end_id, 0, m - 1)
+    uid_state = jnp.where(end_id >= 0, tbl_uid[ec], -1)
+    chain_len = tbl_len[ec]
     pos_state = chain_len - 1 - dist
 
     emitted = uid_state >= 0

@@ -411,7 +411,14 @@ def count_kmers_sets(
     seg = S.segment_ids(starts, svalid)
     counts = jnp.minimum(S.segment_sum(svalid.astype(jnp.int32), seg, n), 65535)
     uexts = S.segment_or8(sexts, seg, n)
-    ukmers = jnp.zeros_like(skmers).at[seg].set(skmers, mode="drop")
+    # per-limb 1-lane scatters (row scatters are ~17x slower on TPU)
+    ukmers = jnp.stack(
+        [
+            jnp.zeros(n, skmers.dtype).at[seg].set(skmers[:, i], mode="drop")
+            for i in range(skmers.shape[1])
+        ],
+        axis=1,
+    )
     n_unique = starts.sum().astype(jnp.int32)
 
     # (kmer, label) pair starts: new kmer OR new label within the run

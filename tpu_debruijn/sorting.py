@@ -186,10 +186,10 @@ def sort_join_limbs(sorted_limbs, n_valid, query_limbs, table_vals=None):
 
 
 # join un-permute strategy: "scatter" (one q-row scatter) or "sort" (one
-# unstable 2-lane sort over n+q rows).  Module-level so benches can A/B;
-# the default is chosen from TPU measurements (see
-# artifacts/microbench_compress.json).
-_JOIN_UNPERMUTE = ["scatter"]
+# unstable 2-lane sort over n+q rows).  Module-level so benches can A/B.
+# Default "sort": measured 16.2ms vs 26.8ms for the whole join at
+# n=1M/q=2.1M on v5e (artifacts/microbench_compress2.json).
+_JOIN_UNPERMUTE = ["sort"]
 
 
 def run_starts(key_arrays, valid):
@@ -349,6 +349,18 @@ def compact(mask, arrays, fill=0):
     idx = jnp.where(mask, pos, n)
     outs = []
     for a in arrays:
-        out = jnp.full(a.shape, fill, a.dtype).at[idx].set(a, mode="drop")
+        if a.ndim == 2:
+            # one scatter PER COLUMN: XLA's multi-lane row scatter is
+            # pathological on TPU (~17x a 1-lane scatter at 2M rows,
+            # artifacts/microbench_compress2.json)
+            cols = [
+                jnp.full(a.shape[:1], fill, a.dtype)
+                .at[idx]
+                .set(a[:, i], mode="drop")
+                for i in range(a.shape[1])
+            ]
+            out = jnp.stack(cols, axis=1)
+        else:
+            out = jnp.full(a.shape, fill, a.dtype).at[idx].set(a, mode="drop")
         outs.append(out)
     return mask.sum().astype(jnp.int32), outs
