@@ -230,3 +230,33 @@ def test_packed_seqset_density_and_roundtrip(rng):
     # appends after a packed load keep alignment
     s3.add(seqs[0])
     assert np.array_equal(s3.get_bases(200), seqs[0])
+
+
+def test_incremental_builders(rng):
+    """push / extend / push_bytes builders (dna_string.rs:303-380)."""
+    from tpu_debruijn.dna import DnaSeq, DnaSeqBuilder
+
+    s = DnaSeq.from_dna_string("ACG")
+    s2 = s.push(3)
+    assert s2.to_dna_string() == "ACGT"
+    s3 = s2.extend([0, 1, 2, 3])
+    assert s3.to_dna_string() == "ACGTACGT"
+
+    # push_bytes: 2-bit packed, LSB-first within each byte
+    # (dna_string.rs:937-951 layout: byte 0b11100100 -> A,C,G,T)
+    s4 = DnaSeq.from_bases(np.zeros(0, np.uint8)).push_bytes(
+        bytes([0b11100100]), 4
+    )
+    assert s4.to_dna_string() == "ACGT"
+    with pytest.raises(ValueError):
+        s4.push_bytes(bytes([0]), 5)
+
+    b = DnaSeqBuilder()
+    want = rng.integers(0, 4, 100).astype(np.uint8)
+    for x in want[:50]:
+        b.push(int(x))
+    b.extend(want[50:])
+    assert len(b) == 100
+    assert np.array_equal(b.build().bases(), want)
+    b.clear()
+    assert len(b.build()) == 0

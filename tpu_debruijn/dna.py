@@ -125,6 +125,31 @@ class DnaSeq:
     def blank(length: int) -> "DnaSeq":
         return DnaSeq.from_bases(np.zeros(length, np.uint8))
 
+    # incremental builders (dna_string.rs:303-380).  DnaSeq is an
+    # immutable value type here, so these return NEW sequences; use
+    # DnaSeqBuilder for amortized O(1)-per-base accumulation.
+    def push(self, base: int) -> "DnaSeq":
+        """Append one 0-3 base (DnaString::push, dna_string.rs:303)."""
+        return DnaSeq.from_bases(np.append(self.bases(), np.uint8(base & 3)))
+
+    def extend(self, bases) -> "DnaSeq":
+        """Append many 0-3 bases (DnaString::extend, dna_string.rs:312)."""
+        bs = np.fromiter((int(b) & 3 for b in bases), np.uint8)
+        return DnaSeq.from_bases(np.concatenate([self.bases(), bs]))
+
+    def push_bytes(self, packed: bytes, seq_length: int) -> "DnaSeq":
+        """Append ``seq_length`` bases read from 2-bit packed bytes,
+        LSB-first within each byte (DnaString::push_bytes,
+        dna_string.rs:351-366)."""
+        arr = np.frombuffer(bytes(packed), np.uint8)
+        if seq_length > len(arr) * 4:
+            raise ValueError("Number of elements to push exceeds array length")
+        i = np.arange(seq_length)
+        vals = (arr[i // 4] >> ((i % 4) * 2).astype(np.uint8)) & 3
+        return DnaSeq.from_bases(
+            np.concatenate([self.bases(), vals.astype(np.uint8)])
+        )
+
     # accessors ----------------------------------------------------------
     def __len__(self):
         return self.length
@@ -238,6 +263,42 @@ class DnaSeq:
     def __repr__(self):
         s = self.to_dna_string()
         return s if len(s) <= 60 else s[:57] + "..."
+
+
+class DnaSeqBuilder:
+    """Amortized incremental builder for DnaSeq (the mutable-accumulation
+    role of DnaString::push/extend, dna_string.rs:303-349)."""
+
+    def __init__(self):
+        self._chunks: List[np.ndarray] = []
+        self._len = 0
+
+    def __len__(self):
+        return self._len
+
+    def push(self, base: int) -> None:
+        self._chunks.append(np.array([base & 3], np.uint8))
+        self._len += 1
+
+    def extend(self, bases) -> None:
+        arr = (
+            np.asarray(
+                list(bases) if not isinstance(bases, np.ndarray) else bases,
+                np.uint8,
+            )
+            & 3
+        )
+        self._chunks.append(arr)
+        self._len += len(arr)
+
+    def clear(self) -> None:
+        self._chunks = []
+        self._len = 0
+
+    def build(self) -> DnaSeq:
+        if not self._chunks:
+            return DnaSeq.from_bases(np.zeros(0, np.uint8))
+        return DnaSeq.from_bases(np.concatenate(self._chunks))
 
 
 class SeqSlice:
