@@ -34,8 +34,16 @@ from tpu_debruijn.bases import (
     dna_only_base_to_bits,
     is_valid_base,
 )
-from tpu_debruijn.compress import CompressionSpec, ScmapCompress, SimpleCompress
-from tpu_debruijn.dna import DnaSeq, PackedSeqSet, SeqSlice
+from tpu_debruijn.compress import (
+    CompressionSpec,
+    ScmapCompress,
+    SimpleCompress,
+    compress_kmers,
+    compress_kmers_color_sets,
+    compress_kmers_no_exts,
+    compress_kmers_rich,
+)
+from tpu_debruijn.dna import DnaSeq, DnaSeqBuilder, PackedSeqSet, SeqSlice
 from tpu_debruijn.exts import Dir, Exts
 from tpu_debruijn.kmer import KmerSpec
 
