@@ -452,3 +452,22 @@ def test_is_compressed_join_test(rng):
     assert g.is_compressed(join_test=lambda a, b: False) is None
     # an accepting join test reports the same first pair as the default
     assert g.is_compressed(join_test=lambda a, b: True) == g.is_compressed()
+
+
+def test_to_gfa_bulk_matches_write_gfa(rng, tmp_path):
+    """The vectorized to_gfa fast path must be byte-identical to the
+    per-node write_gfa (node_to_gfa dedup rules, graph.rs:601-635)."""
+    import io as _io
+
+    k = 16
+    contigs = O.random_contigs(rng)
+    tab = F.filter_kmers(
+        [(np.asarray(c, np.uint8), 0, 0) for c in contigs if len(c) >= k],
+        k, stranded=False, min_obs=1,
+    )
+    g = G.from_compress_output(k, False, C.compress_kmers(tab)).finish()
+    sio = _io.StringIO()
+    g.write_gfa(sio)
+    p = str(tmp_path / "g.gfa")
+    g.to_gfa(p)
+    assert open(p).read() == sio.getvalue()

@@ -618,8 +618,38 @@ class DebruijnGraph:
             self._node_to_gfa(i, w, None)
 
     def to_gfa(self, path) -> None:
-        with open(path, "w") as f:
-            self.write_gfa(f)
+        """GFA export.  Byte-identical to write_gfa but built from ONE
+        vectorized base->ASCII pass over the packed store plus bytes IO —
+        million-node graphs export in seconds, not minutes."""
+        n = len(self)
+        flat_ascii = B.bases_to_ascii(self.base.sequences._flat())
+        starts = np.asarray(self.base.sequences.start, np.int64)
+        lens = np.asarray(self.base.sequences.length, np.int64)
+        t, s, f, ex = self._edge_table()
+        k1 = str(self.spec.k - 1).encode()
+        import io as _io
+
+        buf = _io.BytesIO()
+        buf.write(b"H\tVN:Z:tpu-debruijn\n")
+        mv = memoryview(flat_ascii)
+        for i in range(n):
+            buf.write(b"S\t%d\t" % i)
+            buf.write(mv[starts[i] : starts[i] + lens[i]])
+            buf.write(b"\n")
+            for b in range(4):
+                if ex[i, LEFT, b]:
+                    tgt = int(t[i, LEFT, b])
+                    if tgt >= i:
+                        d = b"+" if s[i, LEFT, b] == LEFT else b"-"
+                        buf.write(b"L\t%d\t-\t%d\t%s\t%sM\n" % (i, tgt, d, k1))
+            for b in range(4):
+                if ex[i, RIGHT, b]:
+                    tgt = int(t[i, RIGHT, b])
+                    if tgt > i:
+                        d = b"+" if s[i, RIGHT, b] == LEFT else b"-"
+                        buf.write(b"L\t%d\t+\t%d\t%s\t%sM\n" % (i, tgt, d, k1))
+        with open(path, "wb") as fh:
+            fh.write(buf.getvalue())
 
     def to_gfa_with_tags(self, path, tag_func) -> None:
         with open(path, "w") as f:
