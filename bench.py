@@ -224,15 +224,15 @@ def main():
         # streaming merge='device' shape): the work the r3 headline
         # excluded.  State capacity C holds the corpus uniques; the
         # chunk side is the deduped batch table sliced to U rows.
-        C = 1024
-        while C < 2 * nv:
-            C *= 2
-        U = 1024
-        while U < nv:
-            U *= 2
-        U = min(U, t.kmers.shape[0])
-        s_k = jnp.zeros((C, spec.w), jnp.uint32)
-        s_p = jnp.zeros(C, jnp.int32)
+        cap_c = 1024
+        while cap_c < 2 * nv:
+            cap_c *= 2
+        cap_u = 1024
+        while cap_u < nv:
+            cap_u *= 2
+        cap_u = min(cap_u, t.kmers.shape[0])
+        s_k = jnp.zeros((cap_c, spec.w), jnp.uint32)
+        s_p = jnp.zeros(cap_c, jnp.int32)
 
         @jax.jit
         def merge(sk, sp, sn, ck, ce, cc, cn, spec=spec):
@@ -240,8 +240,8 @@ def main():
 
         merge_s = timed_enqueue(
             merge,
-            (s_k, s_p, jnp.int32(nv), t.kmers[:U], t.exts[:U],
-             t.counts[:U], t.n_valid),
+            (s_k, s_p, jnp.int32(nv), t.kmers[:cap_u], t.exts[:cap_u],
+             t.counts[:cap_u], t.n_valid),
             iters, sync_latency,
             lambda o: np.asarray(o[2]),
         )
@@ -277,7 +277,7 @@ def main():
             "count_kmers_per_s": round(n_kmers / count_s, 1),
             "count_s_per_batch": round(count_s, 5),
             "merge_s_per_batch": round(merge_s, 5),
-            "merge_capacity": [C, U],
+            "merge_capacity": [cap_c, cap_u],
             "compress_s": round(compress_s, 5),
             "compress_cap": cap,
             "corpus_kmers_per_s": round(corpus_kmers / e2e_s, 1),

@@ -232,12 +232,15 @@ def segment_min(vals, seg, n, init):
 
 
 def segment_or8(vals, seg, n):
-    """Segmented bitwise-OR of 8-bit values (the Exts fold, filter.rs:53-59)."""
-    bits = jnp.stack([(vals >> b) & 1 for b in range(8)], axis=-1)
-    sums = segment_sum(bits, seg, n)
+    """Segmented bitwise-OR of 8-bit values (the Exts fold, filter.rs:53-59).
+
+    One 1-lane max-scatter per bit — a packed (n, 8) row scatter is ~17x
+    slower on TPU (artifacts/microbench_compress2.json)."""
     acc = jnp.zeros(n, vals.dtype)
     for b in range(8):
-        acc = acc | ((sums[:, b] > 0).astype(vals.dtype) << b)
+        bit = (vals >> b) & 1
+        got = jnp.zeros(n, vals.dtype).at[seg].max(bit, mode="drop")
+        acc = acc | (got << b)
     return acc
 
 
