@@ -120,11 +120,13 @@ def main():
 
     t0 = time.time()
     spec = table.spec
-    import jax.numpy as jnp
 
-    # pad the table to a pow2-ish row count: odd-size sorts hit
-    # pathological compile times on the remote helper, and a padded
-    # shape can reuse the persistent compile cache across runs
+    # pad the table to a pow2 row count: odd-size sorts hit pathological
+    # compile times on the remote helper, and a padded shape reuses the
+    # persistent compile cache across runs.  Compression AND sequence
+    # assembly run on device (compress_kmers_flat_device), so only
+    # ~1 byte/base + O(n_unitigs) cross the ~13MB/s tunnel instead of
+    # the ~8 x n x 4B chain-label pull.
     n = len(table)
     cap = 1 << 13
     while cap < n:
@@ -133,18 +135,39 @@ def main():
     pk[:n] = table.kmers
     pe = np.zeros(cap, np.int32)
     pe[:n] = table.exts
+    pc = np.zeros(cap, np.int32)
+    pc[:n] = table.counts
+    import jax.numpy as jnp
+
     chains, u_exts, contrib = C._compress_jit(
         spec, False, False, jnp.asarray(pk), jnp.asarray(pe),
         jnp.int32(n), jnp.zeros(cap, jnp.int32),
     )
+    counts_j = jnp.asarray(pc)
+    base_cap = 1 << max(13, int(cap + spec.k).bit_length())
+    while True:
+        seq, total, out_len, data_sum, overflow = C._assemble_dev_jit(
+            spec, jnp.asarray(pk), chains, contrib, counts_j, base_cap
+        )
+        if not bool(overflow):
+            break
+        base_cap *= 2
     nutg = int(np.asarray(chains.n_unitigs))
-    pc = np.zeros(cap, np.int32)
-    pc[:n] = table.counts
-    flat = C.assemble_unitigs_flat(
-        spec, pk, np.asarray(chains.uid), np.asarray(chains.pos),
-        np.asarray(chains.flip), np.asarray(chains.length),
-        np.asarray(chains.first_item), np.asarray(chains.first_flip),
-        nutg, np.asarray(u_exts), np.asarray(contrib), pc,
+    tot = int(total)
+    nb = 256
+    while nb < tot:
+        nb *= 2
+    nb = min(nb, base_cap)
+    seq_np = np.asarray(seq[:nb])[:tot]
+    ub = 256
+    while ub < nutg:
+        ub *= 2
+    ub = min(ub, cap)
+    flat = (
+        seq_np,
+        np.asarray(out_len[:ub])[:nutg].astype(np.int64),
+        np.asarray(u_exts[:ub])[:nutg].astype(np.int32),
+        np.asarray(data_sum[:ub])[:nutg].astype(np.int32),
     )
     g = from_flat_output(k, False, *flat)
     t_compress = time.time() - t0

@@ -259,3 +259,38 @@ def test_high_k_tip_cleaning(rng):
     # leave the short junk tips (len < 2k) in the graph
     assert len(fixed) == 2
     assert all(fixed.get_node(i).len() == 300 for i in range(len(fixed)))
+
+
+@pytest.mark.parametrize("stranded", [False, True])
+def test_device_assembly_matches_host(rng, stranded):
+    """assemble_unitigs_device builds the SAME flat layout as the host
+    assembler (offsets, head kmer orientation, tail contribs, u16 count
+    sums) -- the minimal-transfer path for tunnel-attached TPUs."""
+    k = 16
+    contigs = O.random_contigs(rng)
+    seqs = [(np.asarray(c, np.uint8), 0, 0) for c in contigs if len(c) >= k]
+    tab = F.filter_kmers(seqs + seqs, k, stranded=stranded, min_obs=2)
+    want_nodes = C.compress_kmers(tab, data_reduce="sum_sat_u16")
+
+    seq_flat, out_lengths, u_exts, data = C.compress_kmers_flat_device(tab)
+    # rebuild the ragged list and compare node-for-node
+    off = np.zeros(len(out_lengths) + 1, np.int64)
+    np.cumsum(out_lengths, out=off[1:])
+    got = [
+        (tuple(int(x) for x in seq_flat[off[u] : off[u + 1]]),
+         int(u_exts[u]), int(data[u]))
+        for u in range(len(out_lengths))
+    ]
+    want = [(tuple(int(x) for x in s), int(e), int(d)) for s, e, d in want_nodes]
+    assert got == want
+
+
+def test_device_assembly_overflow_grows(rng):
+    """cap_bases overflow is detected and retried with a larger cap."""
+    k = 16
+    seq = rng.integers(0, 4, 400).astype(np.uint8)
+    tab = F.filter_kmers([(seq, 0, 0)], k, stranded=True, min_obs=1)
+    small = C.compress_kmers_flat_device(tab, cap_bases=64)
+    full = C.compress_kmers_flat_device(tab)
+    assert np.array_equal(small[0], full[0])
+    assert np.array_equal(small[1], full[1])

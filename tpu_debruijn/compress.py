@@ -622,6 +622,127 @@ def _fold_objects(fn, payloads, idxs, uid, pos, n_unitigs):
     return acc
 
 
+def assemble_unitigs_device(spec: KmerSpec, kmers, chains: Chains, contrib,
+                            counts, cap_bases: int):
+    """Device-side unitig sequence assembly.
+
+    The host assembler (:func:`assemble_unitigs_flat`) needs every chain
+    label array pulled to the host — ~8 x n x 4B, which dominates wall
+    time on tunnel-attached TPUs (~13MB/s device->host on this image).
+    This builds the SAME flat layout on device so only the packed base
+    stream (~1 byte/base) and per-unitig arrays cross the boundary.
+
+    Layout (identical to assemble_unitigs_flat): unitig u occupies
+    ``out_lengths[u] = length[u] + K - 1`` bases at offset
+    ``sum(out_lengths[:u])``; the first K-1 bases come from the oriented
+    first kmer, every subsequent base is its kmer's oriented last base
+    (build_node's VecDeque assembly, compression.rs:483-541).
+
+    Returns (seq (cap_bases,) uint8 — valid prefix ``total``,
+    total_bases (), out_lengths (n,) int32 [slot u < n_unitigs],
+    data_sum (n,) int32 u16-saturated per-unitig count sums,
+    overflow () bool — ``cap_bases`` too small, caller grows + retries).
+    """
+    n = kmers.shape[0]
+    k = spec.k
+    uid, pos = chains.uid, chains.pos
+    nutg = chains.n_unitigs
+    slot = jnp.arange(n, dtype=jnp.int32)
+    live_u = slot < nutg
+    out_len = jnp.where(live_u, chains.length + (k - 1), 0)
+    csum = jnp.cumsum(out_len)
+    offsets_excl = csum - out_len  # (n,)
+    total = csum[-1] if n else jnp.int32(0)
+    overflow = total > cap_bases
+
+    live = uid >= 0
+    # item index at each tail output position (>= K-1 within its unitig)
+    item_pos = offsets_excl[jnp.clip(uid, 0, n - 1)] + (k - 1) + pos
+    item_at = (
+        jnp.zeros(cap_bases, jnp.int32)
+        .at[jnp.where(live, item_pos, cap_bases)]
+        .set(slot, mode="drop")
+    )
+    # unitig id per output base: anchor scatter + prefix sum
+    mark = (
+        jnp.zeros(cap_bases, jnp.int32)
+        .at[jnp.where(live_u & (out_len > 0), offsets_excl, cap_bases)]
+        .set(1, mode="drop")
+    )
+    useg = jnp.cumsum(mark) - 1
+    usegc = jnp.clip(useg, 0, n - 1)
+    bpos = jnp.arange(cap_bases, dtype=jnp.int32)
+    w_in = bpos - offsets_excl[usegc]
+    head = w_in < (k - 1)
+
+    tail_base = contrib[jnp.clip(item_at, 0, n - 1)]
+    fi = chains.first_item[usegc]
+    ff = chains.first_flip[usegc].astype(bool)
+    fk = kmers[jnp.clip(fi, 0, n - 1)]  # (cap_bases, W) row gather
+    jpos = jnp.where(ff, (k - 1) - w_in, w_in)
+    b0 = KM.get_base_dyn(spec, fk, jnp.clip(jpos, 0, k - 1))
+    head_base = jnp.where(ff, (~b0) & np.uint32(3), b0)
+
+    seq = jnp.where(head, head_base, tail_base.astype(jnp.uint32))
+    seq = jnp.where(bpos < total, seq, 0).astype(jnp.uint8)
+
+    data_sum = jnp.minimum(
+        jnp.zeros(n, jnp.int32)
+        .at[jnp.where(live, uid, n)]
+        .add(counts, mode="drop"),
+        65535,
+    )
+    return seq, total, out_len, data_sum, overflow
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _assemble_dev_jit(spec, kmers, chains, contrib, counts, cap_bases):
+    return assemble_unitigs_device(spec, kmers, chains, contrib, counts, cap_bases)
+
+
+def compress_kmers_flat_device(table, *, cap_bases: Optional[int] = None):
+    """Host API: KmerTable -> (seq_flat, out_lengths, u_exts, data) with
+    sequence assembly ON DEVICE — the minimal-transfer variant of
+    :func:`compress_kmers` for tunnel-attached TPUs (counts fold as
+    u16-saturated sums; use compress_kmers for other policies).
+    """
+    kspec = table.spec
+    n = len(table.kmers)
+    if n == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int32), np.zeros(0, np.int32)
+    kmers = jnp.asarray(table.kmers)
+    exts = jnp.asarray(table.exts)
+    counts = jnp.asarray(np.asarray(table.counts, np.int32))
+    cap = cap_bases or 1 << max(13, (int(n + kspec.k) - 1).bit_length())
+    while True:
+        chains, u_exts, contrib = _compress_jit(
+            kspec, table.stranded, False, kmers, exts, jnp.int32(n),
+            jnp.zeros(n, jnp.int32),
+        )
+        seq, total, out_len, data_sum, overflow = _assemble_dev_jit(
+            kspec, kmers, chains, contrib, counts, cap
+        )
+        if not bool(overflow):
+            break
+        cap *= 2
+    nutg = int(chains.n_unitigs)
+    tot = int(total)
+    # pow2-trimmed pulls (cheap slice programs; log2 distinct shapes)
+    nb = 256
+    while nb < tot:
+        nb *= 2
+    nb = min(nb, cap)
+    seq_np = np.asarray(seq[:nb])[:tot]
+    ub = 256
+    while ub < nutg:
+        ub *= 2
+    ub = min(ub, n)
+    out_lengths = np.asarray(out_len[:ub])[:nutg].astype(np.int64)
+    u_exts_np = np.asarray(u_exts[:ub])[:nutg].astype(np.int32)
+    data_np = np.asarray(data_sum[:ub])[:nutg].astype(np.int32)
+    return seq_np, out_lengths, u_exts_np, data_np
+
+
 def compress_kmers_rich(
     table,
     payloads,

@@ -1329,9 +1329,9 @@ def filter_kmers_streaming(
         lk = max(read_len_cap - k + 1, 1)
         bytes_per_read = lk * (spec.w + 5) * 4 * 2
         chunk_reads = max(256, int(memory_gb * 1e9 / bytes_per_read))
-    # widths are always rounded to 64 (bounds compile shapes), including
+    # widths are always rounded to 32 (bounds compile shapes), including
     # the user-provided cap, so the first block never triggers a regrow
-    cap = None if read_len_cap is None else -(-read_len_cap // 64) * 64
+    cap = None if read_len_cap is None else -(-read_len_cap // 32) * 32
     parts = []
     chunk: List = []
 
@@ -1351,7 +1351,7 @@ def filter_kmers_streaming(
             # no-ops on overflow; diagnostics are read back LAGGED and
             # BATCHED so the stream never blocks on the tunnel per chunk
             "pending": [],  # (chunk numpy tuple, n_new dev, applied dev)
-            "confirm_every": 8,
+            "confirm_every": 32,
         }
 
     def _dev_init():
@@ -1386,11 +1386,10 @@ def filter_kmers_streaming(
             return
         pend = dstate["pending"]
         dstate["pending"] = []
-        diag = np.asarray(
-            jnp.stack(
-                [jnp.stack([nn, cn, ok.astype(jnp.int32)]) for _, nn, cn, ok in pend]
-            )
-        )
+        flat = []
+        for _, nn, cn, ok in pend:
+            flat += [nn, cn, ok.astype(jnp.int32)]
+        diag = np.asarray(jnp.stack(flat)).reshape(len(pend), 3)
         dropped = [pend[i][0] for i in range(len(pend)) if diag[i, 2] == 0]
         if not dropped:
             return
@@ -1467,7 +1466,7 @@ def filter_kmers_streaming(
         # grow cap (recompiling) if this chunk holds a wider read than any
         # seen so far — never silently truncate (64-base rounding bounds
         # distinct compile shapes)
-        need = -(-max(len(s[0]) for s in chunk) // 64) * 64
+        need = -(-max(len(s[0]) for s in chunk) // 32) * 32
         if cap is None or need > cap:
             if cap is not None:
                 log.warning(
@@ -1501,7 +1500,7 @@ def filter_kmers_streaming(
         block = np.ascontiguousarray(item[0], dtype=np.uint8)
         m, blen = block.shape
         blens = item[3] if len(item) > 3 and item[3] is not None else None
-        need = -(-blen // 64) * 64
+        need = -(-blen // 32) * 32
         if cap is None or need > cap:
             if cap is not None:
                 log.warning(
