@@ -90,6 +90,26 @@ def main():
     rng = np.random.default_rng(7)
     genome = rng.integers(0, 4, args.genome).astype(np.uint8)
 
+    # warm pass: 2 blocks through the same code path, loading/compiling
+    # every program (first-dispatch executable loads through this image's
+    # remote tunnel cost seconds to minutes and would otherwise pollute
+    # the throughput measurement; production streams amortize them)
+    t0 = time.time()
+    F.filter_kmers_streaming(
+        read_stream(2 * args.block, args.read_len, genome, batch=args.block),
+        k,
+        stranded=False,
+        min_obs=args.min_obs,
+        read_len_cap=args.read_len,
+        memory_gb=args.memory_gb,
+        data_reduce="none" if args.merge == "device" else "label_first",
+        merge=args.merge,
+        init_capacity=args.init_capacity,
+        unique_capacity=args.unique_capacity,
+    )
+    warm_s = time.time() - t0
+    print(f"warm pass {warm_s:.1f}s", flush=True)
+
     t0 = time.time()
     table = F.filter_kmers_streaming(
         read_stream(args.reads, args.read_len, genome, batch=args.block),
@@ -118,7 +138,6 @@ def main():
     print(f"counting done: {len(table)} kmers in {t_count:.1f}s "
           f"({n_kmers/t_count/1e6:.1f}M kmers/s)", flush=True)
 
-    t0 = time.time()
     spec = table.spec
 
     # pad the table to a pow2 row count: odd-size sorts hit pathological
@@ -139,36 +158,49 @@ def main():
     pc[:n] = table.counts
     import jax.numpy as jnp
 
-    chains, u_exts, contrib = C._compress_jit(
-        spec, False, False, jnp.asarray(pk), jnp.asarray(pe),
-        jnp.int32(n), jnp.zeros(cap, jnp.int32),
-    )
+    kdev = jnp.asarray(pk)
+    edev = jnp.asarray(pe)
     counts_j = jnp.asarray(pc)
-    base_cap = 1 << max(13, int(cap + spec.k).bit_length())
-    while True:
-        seq, total, out_len, data_sum, overflow = C._assemble_dev_jit(
-            spec, jnp.asarray(pk), chains, contrib, counts_j, base_cap
+
+    def run_compress():
+        chains, u_exts, contrib = C._compress_jit(
+            spec, False, False, kdev, edev, jnp.int32(n),
+            jnp.zeros(cap, jnp.int32),
         )
-        if not bool(overflow):
-            break
-        base_cap *= 2
-    nutg = int(np.asarray(chains.n_unitigs))
-    tot = int(total)
-    nb = 256
-    while nb < tot:
-        nb *= 2
-    nb = min(nb, base_cap)
-    seq_np = np.asarray(seq[:nb])[:tot]
-    ub = 256
-    while ub < nutg:
-        ub *= 2
-    ub = min(ub, cap)
-    flat = (
-        seq_np,
-        np.asarray(out_len[:ub])[:nutg].astype(np.int64),
-        np.asarray(u_exts[:ub])[:nutg].astype(np.int32),
-        np.asarray(data_sum[:ub])[:nutg].astype(np.int32),
-    )
+        base_cap = 1 << max(13, int(cap + spec.k).bit_length())
+        while True:
+            seq, total, out_len, data_sum, overflow = C._assemble_dev_jit(
+                spec, kdev, chains, contrib, counts_j, base_cap
+            )
+            if not bool(overflow):
+                break
+            base_cap *= 2
+        nutg = int(np.asarray(chains.n_unitigs))
+        tot = int(total)
+        nb = 256
+        while nb < tot:
+            nb *= 2
+        nb = min(nb, base_cap)
+        seq_np = np.asarray(seq[:nb])[:tot]
+        ub = 256
+        while ub < nutg:
+            ub *= 2
+        ub = min(ub, cap)
+        return (
+            seq_np,
+            np.asarray(out_len[:ub])[:nutg].astype(np.int64),
+            np.asarray(u_exts[:ub])[:nutg].astype(np.int32),
+            np.asarray(data_sum[:ub])[:nutg].astype(np.int32),
+        )
+
+    # first call loads/compiles the compress + assembly executables (the
+    # per-process cost the warm pass cannot reach, since cap depends on
+    # the unique count); the second call is the steady-state time
+    t0 = time.time()
+    run_compress()
+    t_compress_first = time.time() - t0
+    t0 = time.time()
+    flat = run_compress()
     g = from_flat_output(k, False, *flat)
     t_compress = time.time() - t0
 
@@ -188,6 +220,8 @@ def main():
         "host_budget_gb": 8.0,
         "rss_under_budget": bool(peak_rss_gb <= 8.0),
         "merge": args.merge,
+        "warmup_s_excluded": round(warm_s, 1),
+        "compress_first_call_s": round(t_compress_first, 1),
         "device": str(jax.devices()[0]),
     }
     os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)
