@@ -997,6 +997,29 @@ def compress_kmers(
     n = len(table.kmers)
     if n == 0:
         return []
+    if (
+        spec is None
+        and not join_on_data
+        and data_reduce == "sum_sat_u16"
+        and data_field == "counts"
+        and jax.default_backend() == "tpu"
+    ):
+        # tunnel-friendly fast path: sequences assemble ON DEVICE, so the
+        # host pulls ~1 byte/base instead of ~8 x n x 4B of chain labels
+        # (device->host on this image's TPU tunnel runs ~13MB/s)
+        seq_flat, out_lengths, u_exts_t, data_red = compress_kmers_flat_device(
+            table
+        )
+        offsets = np.zeros(len(out_lengths) + 1, np.int64)
+        np.cumsum(out_lengths, out=offsets[1:])
+        return [
+            (
+                seq_flat[offsets[u] : offsets[u + 1]],
+                int(u_exts_t[u]),
+                int(data_red[u]),
+            )
+            for u in range(len(out_lengths))
+        ]
     kmers = jnp.asarray(table.kmers)
     exts = jnp.asarray(table.exts)
     data_np = np.asarray(getattr(table, data_field))
