@@ -1173,36 +1173,6 @@ def _merge_sorted_core(spec, cols, val_all, pay_all, c_out):
     return new_kmers, new_packed, n_new
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _merge_chunk_jit(spec, stranded, s_kmers, s_packed, s_n,
-                     bases, lengths, seq_exts):
-    """Merge one raw read chunk into the device-resident unique table.
-
-    State: ``s_kmers`` (C, W) sorted unique canonical kmers (rows >= s_n
-    are garbage), ``s_packed`` (C,) int32 = (count<<8)|exts.  The chunk's
-    kmers are extracted, canonicalized, and merged in ONE sort over
-    C + R*Lk rows — duplicate grouping within the chunk and the join with
-    the accumulated table are the same sort.  Returns (new_kmers,
-    new_packed, n_new): ``n_new`` may exceed C (overflow — caller grows C
-    and retries; state inputs are not donated so retry is safe).
-    """
-    kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
-    kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
-    nc = kmers.shape[0] * kmers.shape[1]
-    w = spec.w
-    c = s_kmers.shape[0]
-    kf = kmers.reshape(nc, w)
-    ef = exts.reshape(nc)
-    vf = valid.reshape(nc)
-
-    val_all = jnp.concatenate([jnp.arange(c, dtype=jnp.int32) < s_n, vf])
-    pay_all = jnp.concatenate([s_packed, (1 << 8) | ef])
-    cols = [
-        jnp.concatenate([s_kmers[:, i], kf[:, i]]) for i in range(w)
-    ]
-    return _merge_sorted_core(spec, cols, val_all, pay_all, c)
-
-
 @partial(jax.jit, static_argnums=(0,))
 def _merge_tables_jit(spec, s_kmers, s_packed, s_n, c_kmers, c_exts,
                       c_counts, c_n):
@@ -1317,10 +1287,12 @@ def filter_kmers_streaming(
       host and LSM-merged in numpy — labels and every ``data_reduce``
       supported.
     * ``"device"``: the unique table stays ON DEVICE (capacity
-      ``init_capacity`` rows, grown on demand) and each raw chunk is
-      merged with one sort — no per-chunk table transfers at all, so the
-      stream runs at device speed (the tunnel/host merge otherwise
-      dominates at 100M+ kmers).  Requires ``data_reduce='none'``.
+      ``init_capacity`` rows, grown on demand).  Each chunk is deduped by
+      the count program, then folded in with a C + U row table merge
+      (U = ``unique_capacity``), so compiled program size never grows
+      with the corpus; overflows are detected through lagged, batched
+      diagnostics and replayed exactly — the stream never blocks on a
+      per-chunk host round trip.  Requires ``data_reduce='none'``.
     """
     spec = KmerSpec(k)
     if memory_gb is not None and read_len_cap is not None:
