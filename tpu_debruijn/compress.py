@@ -386,9 +386,12 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
     tpos = jnp.where(live, jnp.clip(c_end, 0, m - 1), m)
     tbl_uid = jnp.full(m, -1, jnp.int32).at[tpos].set(uidx, mode="drop")
     tbl_len = jnp.full(m, -1, jnp.int32).at[tpos].set(length_m, mode="drop")
-    ec = jnp.clip(end_id, 0, m - 1)
-    uid_state = jnp.where(end_id >= 0, tbl_uid[ec], -1)
-    chain_len = tbl_len[ec]
+    # gather cost is per ROW (width-independent), so read both lanes in
+    # ONE (m, 2) row gather; only SCATTERS need the 1-lane split
+    tbl = jnp.stack([tbl_uid, tbl_len], axis=1)
+    g = tbl[jnp.clip(end_id, 0, m - 1)]
+    uid_state = jnp.where(end_id >= 0, g[:, 0], -1)
+    chain_len = g[:, 1]
     pos_state = chain_len - 1 - dist
 
     emitted = uid_state >= 0
