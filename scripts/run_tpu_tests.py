@@ -27,7 +27,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SUBSET = [
     "tests/test_exts.py",
     "tests/test_kmer_ops.py",
+    "tests/test_dna.py",
     "tests/test_filter.py",
+    "tests/test_summarizers.py",
     "tests/test_compress.py",
     "tests/test_golden.py",
     "tests/test_reference_vectors.py",
