@@ -299,6 +299,40 @@ def main():
 
     n_kmers, tpu_s = headline
     tpu_rate = n_kmers / tpu_s
+    full_detail = {
+        "corpus_model": "64 x (count batch + device merge into the corpus "
+                        "table) + 1 compress (reference usage shape: "
+                        "filter_kmers over all input, then one "
+                        "compress_kmers_with_hash).  No excluded work.",
+        "fused_frontend": bool(args.fused),
+        "n_reads": n_reads,
+        "read_len": L,
+        "device": str(jax.devices()[0]),
+        "timing_method": "enqueue-N+forced-readback, tunnel sync latency "
+                         "subtracted (r1's block_until_ready timing was "
+                         "invalid)",
+        "sync_latency_s": round(sync_latency, 4),
+        "hbm_copy_GBps": round(copy_bw / 1e9, 1),
+        "cpu_baseline_kmers_per_s": round(cpu_rate, 1),
+        "matrix": matrix,
+    }
+    try:
+        with open("artifacts/bench_detail.json", "w") as f:
+            json.dump(full_detail, f, indent=1)
+    except OSError:
+        pass
+    # the driver captures only the output TAIL (~2000 chars): the r4 full
+    # detail block outgrew it and BENCH_r04 recorded parsed:null.  The
+    # headline line stays compact (full matrix -> artifacts/bench_detail
+    # .json) and prints LAST.
+    compact = {
+        k: {
+            "count_kmers_per_s": v["count_kmers_per_s"],
+            "corpus_kmers_per_s": v["corpus_kmers_per_s"],
+            "compress_s": v["compress_s"],
+        }
+        for k, v in matrix.items()
+    }
     print(
         json.dumps(
             {
@@ -307,25 +341,11 @@ def main():
                 "unit": "kmers/s",
                 "vs_baseline": round(tpu_rate / cpu_rate, 3),
                 "detail": {
-                    "corpus_model": "64 x (count batch + device merge "
-                                    "into the corpus table) + 1 compress "
-                                    "(reference usage shape: filter_kmers "
-                                    "over all input, then one "
-                                    "compress_kmers_with_hash).  No "
-                                    "excluded work: the per-batch table "
-                                    "merge that r3's headline dropped now "
-                                    "runs on device and is counted",
-                    "fused_frontend": bool(args.fused),
-                    "n_reads": n_reads,
-                    "read_len": L,
                     "device": str(jax.devices()[0]),
-                    "timing_method": "enqueue-N+forced-readback, tunnel "
-                                     "sync latency subtracted (r1's "
-                                     "block_until_ready timing was invalid)",
-                    "sync_latency_s": round(sync_latency, 4),
                     "hbm_copy_GBps": round(copy_bw / 1e9, 1),
                     "cpu_baseline_kmers_per_s": round(cpu_rate, 1),
-                    "matrix": matrix,
+                    "matrix_compact": compact,
+                    "full_detail": "artifacts/bench_detail.json",
                 },
             }
         )

@@ -28,12 +28,20 @@ SUBSET = [
     "tests/test_exts.py",
     "tests/test_kmer_ops.py",
     "tests/test_dna.py",
+    "tests/test_msp.py",
+    "tests/test_io.py",
     "tests/test_filter.py",
     "tests/test_summarizers.py",
     "tests/test_compress.py",
+    "tests/test_graph.py",
+    "tests/test_kernels.py",
     "tests/test_golden.py",
     "tests/test_reference_vectors.py",
     "tests/test_rich_data.py",
+    # runs on a 1-device mesh on silicon (test_parallel._NDEV); the
+    # 8-shard equality stays on the CPU virtual mesh.  test_multihost
+    # (subprocess Gloo) stays CPU-only.
+    "tests/test_parallel.py",
 ]
 
 

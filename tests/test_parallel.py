@@ -11,6 +11,13 @@ from tpu_debruijn.graph import from_compress_output
 from tpu_debruijn.oracle import ref as O
 from tpu_debruijn.parallel import assemble_sharded, make_mesh
 
+import jax
+
+# CPU runs use the virtual 8-device mesh (conftest); the silicon run
+# (scripts/run_tpu_tests.py) has ONE real chip — the shard_map path
+# still executes there, on a 1-device mesh
+_NDEV = min(8, jax.device_count())
+
 
 def _reads_from_contigs(rng, contigs, n_reads=80, read_len=60, rc=True):
     reads = []
@@ -46,7 +53,7 @@ def test_sharded_equals_unsharded(rng, min_obs):
     contigs = O.random_contigs(rng)
     reads = _reads_from_contigs(rng, contigs)
     reads = reads + reads
-    mesh = make_mesh(8)
+    mesh = make_mesh(_NDEV)
     g_sh = assemble_sharded(reads, k, p, stranded=False, min_obs=min_obs, mesh=mesh)
 
     table = F.filter_kmers([(r, 0, 0) for r in reads], k, stranded=False, min_obs=min_obs)
@@ -65,7 +72,7 @@ def test_sharded_censoring_invariants(rng):
     k, p = 31, 8
     contigs = O.random_contigs(rng)
     reads = _reads_from_contigs(rng, contigs, n_reads=120)
-    mesh = make_mesh(8)
+    mesh = make_mesh(_NDEV)
     g = assemble_sharded(reads, k, p, stranded=False, min_obs=2, mesh=mesh)
 
     raw = set()
@@ -101,7 +108,7 @@ def test_sharded_kmer_counts_exact(rng):
     k, p = 31, 8
     contigs = O.random_contigs(rng)
     reads = _reads_from_contigs(rng, contigs, n_reads=40)
-    mesh = make_mesh(8)
+    mesh = make_mesh(_NDEV)
     plan, table, chains, u_exts, contrib = sharded_tables(
         reads, k, p, stranded=False, min_obs=1, mesh=mesh
     )
@@ -144,7 +151,7 @@ def test_auto_cap_skewed_minimizers(rng):
     from tpu_debruijn.parallel.shard import sharded_tables
 
     k, p = 16, 15
-    mesh = make_mesh(8)
+    mesh = make_mesh(_NDEV)
     base = np.tile([0, 3], 40).astype(np.uint8)  # ATAT... (2 minimizers)
     reads = []
     for _ in range(32):
@@ -174,7 +181,7 @@ def test_collective_stitch_equals_host_path(rng):
     contigs = O.random_contigs(rng)
     reads = _reads_from_contigs(rng, contigs, n_reads=100)
     reads = reads + reads
-    mesh = make_mesh(8)
+    mesh = make_mesh(_NDEV)
     g_dev = assemble_sharded(
         reads, k, p, stranded=False, min_obs=2, mesh=mesh, collective=True
     )

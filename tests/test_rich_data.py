@@ -201,3 +201,37 @@ def test_graph_rich_sidecar_roundtrip(rng, tmp_path):
         for i in range(len(cg))
     }
     assert got == want
+
+
+def test_graph_arbitrary_payload_checkpoint(rng, tmp_path):
+    """Checkpoints round-trip ARBITRARY rich payloads, not just int
+    sequences — the reference serializes any serde-serializable D
+    (graph.rs:43,175).  Non-int payloads take a pickled byte sidecar;
+    int-sequence payloads keep the compact flat+split arrays."""
+    k = 16
+    reads = _labeled_reads(rng, n_labels=3, n_reads=30)
+    table, sets = F.filter_kmers_set(reads, k, stranded=False, min_obs=1)
+    name = {0: "alpha", 1: "beta", 2: "gamma"}
+    payloads = [tuple(name[x] for x in s) for s in sets]
+    nodes = C.compress_kmers_rich(
+        table, payloads, reduce=lambda a, b: tuple(sorted(set(a) | set(b)))
+    )
+    g = G.from_compress_output(k, False, nodes).finish()
+    assert any(isinstance(x, str) for r in g.rich for x in r)
+
+    p = str(tmp_path / "strcolors.npz")
+    g.save(p)
+    g2 = G.DebruijnGraph.load(p)
+    assert list(g2.rich) == list(g.rich)
+    assert np.array_equal(g2.exts, g.exts)
+    assert np.array_equal(
+        np.asarray(g2.base.sequences.length), np.asarray(g.base.sequences.length)
+    )
+
+    # non-sequence payloads (plain objects) also round-trip — previously
+    # raised TypeError from the int-sequence validation (ADVICE r4)
+    g.base._rich = [{"id": i, "tag": "x"} for i in range(len(g))]
+    p2 = str(tmp_path / "objpayload.npz")
+    g.save(p2)
+    g3 = G.DebruijnGraph.load(p2)
+    assert list(g3.rich) == list(g.rich)

@@ -689,12 +689,21 @@ def assemble_unitigs_device(spec: KmerSpec, kmers, chains: Chains, contrib,
     seq = jnp.where(head, head_base, tail_base.astype(jnp.uint32))
     seq = jnp.where(bpos < total, seq, 0).astype(jnp.uint8)
 
-    data_sum = jnp.minimum(
-        jnp.zeros(n, jnp.int32)
+    # u16-saturated count sum, overflow-proof: per-item counts are already
+    # <= 65535, so with m <= 65535 items the raw sum fits uint32 exactly
+    # (65535^2 < 2^32); unitigs with more items than that are saturated
+    # outright (sum >= m > 65535 since every count >= 1).  int32
+    # accumulation would wrap negative at ~33k max-count items (host
+    # _reduce_np sums in int64 — this keeps device == host semantics).
+    nitems = out_len - (k - 1)
+    sum_u = (
+        jnp.zeros(n, jnp.uint32)
         .at[jnp.where(live, uid, n)]
-        .add(counts, mode="drop"),
-        65535,
+        .add(counts.astype(jnp.uint32), mode="drop")
     )
+    data_sum = jnp.where(
+        nitems > 65535, 65535, jnp.minimum(sum_u, 65535).astype(jnp.int32)
+    ).astype(jnp.int32)
     return seq, total, out_len, data_sum, overflow
 
 
@@ -716,19 +725,26 @@ def compress_kmers_flat_device(table, *, cap_bases: Optional[int] = None):
     kmers = jnp.asarray(table.kmers)
     exts = jnp.asarray(table.exts)
     counts = jnp.asarray(np.asarray(table.counts, np.int32))
-    cap = cap_bases or 1 << max(13, (int(n + kspec.k) - 1).bit_length())
+    chains, u_exts, contrib = _compress_jit(
+        kspec, table.stranded, False, kmers, exts, jnp.int32(n),
+        jnp.zeros(n, jnp.int32),
+    )
+    nutg = int(chains.n_unitigs)
+    if cap_bases is None:
+        # exact output size: total bases = n + n_unitigs*(k-1) (every
+        # unitig emits its item count + k-1 head bases) — sizing from
+        # n + k alone under-provisions fragmented tables by up to ~n*k
+        # and costs ~log2(k) cap-doubling recompiles
+        cap = 1 << max(13, (n + nutg * (kspec.k - 1)).bit_length())
+    else:
+        cap = cap_bases
     while True:
-        chains, u_exts, contrib = _compress_jit(
-            kspec, table.stranded, False, kmers, exts, jnp.int32(n),
-            jnp.zeros(n, jnp.int32),
-        )
         seq, total, out_len, data_sum, overflow = _assemble_dev_jit(
             kspec, kmers, chains, contrib, counts, cap
         )
         if not bool(overflow):
             break
         cap *= 2
-    nutg = int(chains.n_unitigs)
     tot = int(total)
     # pow2-trimmed pulls (cheap slice programs; log2 distinct shapes)
     nb = 256

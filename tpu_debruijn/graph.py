@@ -742,21 +742,34 @@ class DebruijnGraph:
         payloads are not serializable and raise."""
         extra = {}
         if self.rich is not None:
-            flats, split = [], np.zeros(len(self) + 1, np.int64)
-            for i, r in enumerate(self.rich):
-                if r is None:
-                    r = ()
-                elif not all(isinstance(x, (int, np.integer)) for x in r):
-                    raise ValueError(
-                        "rich sidecar entries must be sequences of ints to "
-                        "checkpoint (arbitrary objects are not serializable)"
-                    )
-                flats.append(np.asarray(list(r), np.int64))
-                split[i + 1] = split[i] + len(flats[-1])
-            extra["rich_flat"] = (
-                np.concatenate(flats) if flats else np.zeros(0, np.int64)
-            )
-            extra["rich_split"] = split
+            # fast path: sequences of ints go in as flat + split arrays;
+            # any other payload (tuples of strings, dicts, custom classes —
+            # the reference serializes any serde-serializable D,
+            # graph.rs:43,175) falls back to a pickled byte sidecar stored
+            # as a uint8 array (no allow_pickle needed on load)
+            def _int_seq(r):
+                try:
+                    return all(isinstance(x, (int, np.integer)) for x in r)
+                except TypeError:
+                    return False
+
+            if all(r is None or _int_seq(r) for r in self.rich):
+                flats, split = [], np.zeros(len(self) + 1, np.int64)
+                for i, r in enumerate(self.rich):
+                    if r is None:
+                        r = ()
+                    flats.append(np.asarray(list(r), np.int64))
+                    split[i + 1] = split[i] + len(flats[-1])
+                extra["rich_flat"] = (
+                    np.concatenate(flats) if flats else np.zeros(0, np.int64)
+                )
+                extra["rich_split"] = split
+            else:
+                import pickle
+
+                extra["rich_pickle"] = np.frombuffer(
+                    pickle.dumps(list(self.rich), protocol=4), dtype=np.uint8
+                )
         np.savez_compressed(
             path,
             k=self.spec.k,
@@ -777,7 +790,11 @@ class DebruijnGraph:
         z = np.load(path)
         g = BaseGraph(int(z["k"]), bool(z["stranded"]))
         rich = None
-        if "rich_flat" in z:
+        if "rich_pickle" in z:
+            import pickle
+
+            rich = pickle.loads(z["rich_pickle"].tobytes())
+        elif "rich_flat" in z:
             flat, split = z["rich_flat"], z["rich_split"]
             rich = [
                 tuple(int(x) for x in flat[split[i] : split[i + 1]])
