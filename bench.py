@@ -198,11 +198,13 @@ def main():
         n_kmers = n_reads * (L - k + 1)
 
         # two jit units: fusing count+compress into one program makes XLA's
-        # global optimization passes blow up compile time superlinearly
-        # data_reduce='none' + report_all=False is the reference CountFilter
-        # shape (counts only, no census, filter.rs:40-63) — the hot path
+        # global optimization passes blow up compile time superlinearly.
+        # The corpus hot loop is the BLOCK pipeline (count_kmers_blocks +
+        # _merge_blocks_jit): one sentinel sort + one packed scan + a
+        # batched block-compaction per stage — the r5 rework that replaced
+        # the global partition sorts (see ROUND5_NOTES.md)
         @jax.jit
-        def count(b, l, e, lab, spec=spec, stranded=stranded):
+        def count_api(b, l, e, lab, spec=spec, stranded=stranded):
             return F.count_kmers(spec, b, l, e, lab, stranded=stranded,
                                  min_obs=1, fused_frontend=args.fused,
                                  data_reduce="none", report_all=False)
@@ -212,38 +214,62 @@ def main():
             return C.compress_kmer_table_device(spec, stranded, kmers, exts, n_valid)
 
         dargs = tuple(map(jnp.asarray, (bases, lengths, seq_exts, labels)))
-        # counting: the streamed per-batch hot loop
-        count_s = timed_enqueue(
-            count, dargs, iters, sync_latency,
-            lambda o: np.asarray(o.n_valid),
-        )
-        t = count(*dargs)
+        t = count_api(*dargs)
         nv = int(np.asarray(t.n_valid))
 
-        # per-batch device merge into the corpus table (filter_kmers_
-        # streaming merge='device' shape): the work the r3 headline
-        # excluded.  State capacity C holds the corpus uniques; the
-        # chunk side is the deduped batch table sliced to U rows.
-        cap_c = 1024
-        while cap_c < 2 * nv:
-            cap_c *= 2
-        cap_u = 1024
-        while cap_u < nv:
-            cap_u *= 2
-        cap_u = min(cap_u, t.kmers.shape[0])
-        s_k = jnp.zeros((cap_c, spec.w), jnp.uint32)
-        s_p = jnp.zeros(cap_c, jnp.int32)
+        # chunk block table sized like the runtime would (grow until the
+        # block compaction fits the skew of this corpus)
+        out_cols = 4
+        while 256 * out_cols < 2 * nv:
+            out_cols *= 2
+        while True:
+            _, _, _, ok = F._count_kmers_blocks_jit(
+                spec, stranded, out_cols, *dargs[:3]
+            )
+            if bool(np.asarray(ok)):
+                break
+            out_cols *= 2
 
-        @jax.jit
-        def merge(sk, sp, sn, ck, ce, cc, cn, spec=spec):
-            return F._merge_tables_jit(spec, sk, sp, sn, ck, ce, cc, cn)
+        def count(b, l, e, oc=out_cols):
+            return F._count_kmers_blocks_jit(spec, stranded, oc, b, l, e)
 
-        merge_s = timed_enqueue(
-            merge,
-            (s_k, s_p, jnp.int32(nv), t.kmers[:cap_u], t.exts[:cap_u],
-             t.counts[:cap_u], t.n_valid),
-            iters, sync_latency,
+        count_s = timed_enqueue(
+            count, dargs[:3], iters, sync_latency,
             lambda o: np.asarray(o[2]),
+        )
+
+        # per-batch device merge into the corpus table (filter_kmers_
+        # streaming merge='device' shape).  State capacity C holds the
+        # corpus uniques (sentinel-encoded, block-gapped).
+        cap_c = 8192
+        while cap_c < 4 * nv:
+            cap_c *= 2
+        ck, cp, _, c_ok = F._count_kmers_blocks_jit(
+            spec, stranded, out_cols, *dargs[:3]
+        )
+
+        def merge(sk, sp, ck_, cp_, cok):
+            return F._merge_blocks_jit(spec, sk, sp, ck_, cp_, 128, cok)
+
+        # seed the state with one merge from empty (all-unique chunks can
+        # overflow the block compaction there — grow like the runtime
+        # does), then time the steady-state shape: folding a batch into a
+        # state that already holds the corpus table
+        while True:
+            s_k = jnp.full((cap_c, spec.w), 0xFFFFFFFF, jnp.uint32)
+            s_p = jnp.zeros(cap_c, jnp.int32)
+            mk, mp, mn, mok = merge(s_k, s_p, ck, cp, c_ok)
+            if bool(np.asarray(mok)):
+                break
+            cap_c *= 2
+        merge_s = timed_enqueue(
+            merge, (mk, mp, ck, cp, c_ok), iters, sync_latency,
+            lambda o: np.asarray(o[2]),
+        )
+        _, _, mn2, mok2 = merge(mk, mp, ck, cp, c_ok)
+        assert bool(np.asarray(mok2)), "bench steady-state merge overflowed"
+        assert int(np.asarray(mn2)) == nv, (
+            f"block merge uniques {int(np.asarray(mn2))} != count {nv}"
         )
         # compression: runs ONCE per corpus on the merged table (the
         # reference's shape too: filter_kmers over all input, then one

@@ -294,3 +294,88 @@ def test_device_assembly_overflow_grows(rng):
     full = C.compress_kmers_flat_device(tab)
     assert np.array_equal(small[0], full[0])
     assert np.array_equal(small[1], full[1])
+
+
+def _chains_tuple(ch):
+    import numpy as np
+
+    nu = int(ch.n_unitigs)
+    return (
+        np.asarray(ch.uid).tolist(),
+        np.asarray(ch.pos).tolist(),
+        np.asarray(ch.flip).tolist(),
+        nu,
+        np.asarray(ch.length)[:nu].tolist(),
+        np.asarray(ch.first_item)[:nu].tolist(),
+        np.asarray(ch.last_item)[:nu].tolist(),
+        np.asarray(ch.first_flip)[:nu].tolist(),
+        np.asarray(ch.last_flip)[:nu].tolist(),
+    )
+
+
+@pytest.mark.parametrize("stranded", [False, True])
+def test_link_chains_ordered_matches_plain(rng, stranded):
+    """link_chains_ordered == link_chains EXACTLY (uid order, positions,
+    orientations, per-unitig metadata) on read corpora, both with the
+    real first-occurrence order and with adversarial junk first_pos
+    (correctness must not depend on the ordering hint)."""
+    import jax.numpy as jnp
+
+    from tpu_debruijn import filter as F
+
+    k = 21
+    contigs = O.random_contigs(rng)
+    reads = []
+    for c in contigs:
+        c = np.asarray(c, np.uint8)
+        for s in range(0, max(len(c) - 60, 1), 13):
+            r = c[s : s + 60]
+            if len(r) < k:
+                continue
+            if rng.random() < 0.5:
+                r = (3 - r[::-1]).astype(np.uint8)
+            reads.append((r, 0, 0))
+    table = F.filter_kmers(reads, k, stranded=stranded, min_obs=1,
+                           data_reduce="obs_min")
+    n = len(table.kmers)
+    assert n > 100
+    kmers = jnp.asarray(table.kmers)
+    exts = jnp.asarray(table.exts)
+    plain = C._compress_jit(
+        C.KmerSpec(k), stranded, False, kmers, exts, jnp.int32(n),
+        jnp.zeros(n, jnp.int32),
+    )
+    for fp, cap in (
+        (np.asarray(table.data, np.int32), 1 << 12),  # real order: contracts
+        (rng.permutation(n).astype(np.int32), n),     # junk: ~no contraction
+        (np.zeros(n, np.int32), n),                   # all ties
+    ):
+        ordered = C._compress_ordered_jit(
+            C.KmerSpec(k), stranded, cap, kmers, exts, jnp.int32(n),
+            jnp.asarray(fp),
+        )
+        assert not bool(ordered[3]), "contracted cap overflowed in test"
+        assert _chains_tuple(ordered[0]) == _chains_tuple(plain[0])
+        nu = int(plain[0].n_unitigs)
+        assert np.array_equal(
+            np.asarray(ordered[1])[:nu], np.asarray(plain[1])[:nu]
+        )
+        assert np.array_equal(np.asarray(ordered[2]), np.asarray(plain[2]))
+
+
+def test_link_chains_ordered_overflow_flag(rng):
+    """A too-small contracted cap reports overflow instead of silently
+    truncating."""
+    import jax.numpy as jnp
+
+    from tpu_debruijn import filter as F
+
+    reads = [(O.random_dna(rng, 80), 0, 0) for _ in range(40)]
+    table = F.filter_kmers(reads, 31, stranded=False, min_obs=1,
+                           data_reduce="obs_min")
+    n = len(table.kmers)
+    ordered = C._compress_ordered_jit(
+        C.KmerSpec(31), False, 4, jnp.asarray(table.kmers),
+        jnp.asarray(table.exts), jnp.int32(n), jnp.asarray(table.data),
+    )
+    assert bool(ordered[3])

@@ -221,9 +221,15 @@ def _succ_states(partner_l, partner_r, in_l, in_r, valid):
     return jnp.where(svalid, succ, -1)
 
 
-def _rank_all(succ, mnmo):
+def _rank_all(succ, mnmo, dist0=None, end0=None):
     """Pointer-doubling list ranking: (succ_final, dist_to_end, mnmo_min,
     end_state) per state, in one while_loop.
+
+    ``dist0``/``end0`` override the per-state initial edge weight and
+    terminal id — the contracted ranking (:func:`link_chains_ordered`)
+    seeds them with per-run lengths and exit states; default None gives
+    the unweighted behavior (dist0 = 1 per live edge, end0 = own index
+    at terminals).
 
     TPU note: random gathers are the cost here (~9ms per 1M 1-D index
     gather on v5e, far below HBM bandwidth, and per-INDEX not per-byte),
@@ -252,10 +258,16 @@ def _rank_all(succ, mnmo):
         pad = FAST_ROWS - m
         succ = jnp.concatenate([succ, jnp.full(pad, -1, succ.dtype)])
         mnmo = jnp.concatenate([mnmo, jnp.zeros(pad, mnmo.dtype)])
+        if dist0 is not None:
+            dist0 = jnp.concatenate([dist0, jnp.zeros(pad, jnp.int32)])
+        if end0 is not None:
+            end0 = jnp.concatenate([end0, jnp.full(pad, -1, jnp.int32)])
     mp = succ.shape[0]
     max_steps = max(1, math.ceil(math.log2(m + 1)))
-    dist0 = jnp.where(succ >= 0, 1, 0).astype(jnp.int32)
-    end0 = jnp.where(succ == -1, jnp.arange(mp, dtype=jnp.int32), -1)
+    if dist0 is None:
+        dist0 = jnp.where(succ >= 0, 1, 0).astype(jnp.int32)
+    if end0 is None:
+        end0 = jnp.where(succ == -1, jnp.arange(mp, dtype=jnp.int32), -1)
     x0 = jnp.stack([succ, dist0, mnmo, end0], axis=1)
 
     # the convergence flag is computed in the BODY and carried as a
@@ -352,47 +364,11 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
     no_pred = jnp.stack([partner_l < 0, partner_r < 0], axis=1).reshape(m)
     is_start = (no_pred | extra_starts) & jnp.repeat(valid, 2)
 
-    # --- emission: keep the traversal where the chain's min node is in
-    # stored orientation.  Aggregates (mn, mo) at a start state cover the
-    # whole chain.
-    emit_start = is_start & (mo == 0)
-    n_unitigs = emit_start.sum().astype(jnp.int32)
-
-    # ONE sort compacts emitted chains into uid order (increasing
-    # chain-min-node — the reference's seed order, compression.rs:574):
-    # row u < n_unitigs of the sorted payloads IS unitig u, so unitig
-    # metadata needs no scatters at all.  Emitted keys (chain mins) are
-    # unique, so the unstable sort is deterministic for every row read.
-    sort_key = jnp.where(emit_start, mn, jnp.int32(n))
-    out_s = jax.lax.sort(
-        [sort_key, end_id, node, orient, dist], num_keys=1, is_stable=False
+    (n_unitigs, length_u, first_item, first_flip, last_item, last_flip,
+     uid_state, pos_state) = _emit_chains(
+        n, node, orient, dist, mnmo, end_id, is_start,
+        node_of_end=lambda e: e >> 1,
     )
-    c_end, c_node, c_orient, c_dist = out_s[1:]
-    # Chains contract: per-unitig arrays are (n,)-sized, slot u < n_unitigs
-    length_m = c_dist + 1  # full (m,) view, used by the end-state scatter
-    length_u = length_m[:n]
-    first_item = c_node[:n]
-    first_flip = c_orient[:n]
-    last_item = (jnp.clip(c_end, 0, m - 1) >> 1)[:n]
-    last_flip = (c_end & 1)[:n]
-
-    # uid + chain length at each chain's END state, then every state
-    # reads them through its own end_id.  TWO 1-lane scatters/gathers:
-    # a single packed (m, 2) ROW scatter costs 168ms at m=2.1M on v5e
-    # (vs 10ms per 1-lane scatter) — XLA's row-scatter lowering is
-    # pathological (artifacts/microbench_compress2.json)
-    uidx = jnp.arange(m, dtype=jnp.int32)
-    live = uidx < n_unitigs
-    tpos = jnp.where(live, jnp.clip(c_end, 0, m - 1), m)
-    tbl_uid = jnp.full(m, -1, jnp.int32).at[tpos].set(uidx, mode="drop")
-    tbl_len = jnp.full(m, -1, jnp.int32).at[tpos].set(length_m, mode="drop")
-    # gather cost is per ROW (width-independent), so read both lanes in
-    # ONE (m, 2) row gather; only SCATTERS need the 1-lane split
-    tbl = jnp.stack([tbl_uid, tbl_len], axis=1)
-    g = tbl[jnp.clip(end_id, 0, m - 1)]
-    uid_state = jnp.where(end_id >= 0, g[:, 0], -1)
-    chain_len = g[:, 1]
-    pos_state = chain_len - 1 - dist
 
     emitted = uid_state >= 0
     # per-item results: each item has exactly one emitted state
@@ -415,6 +391,379 @@ def link_chains(partner_l, partner_r, in_l, in_r, valid) -> Chains:
         first_flip=first_flip,
         last_flip=last_flip,
     )
+
+
+def _emit_chains(n, node, orient, dist, mnmo, end_id, is_start, node_of_end):
+    """Shared emission tail of the chain linkers: keep the traversal where
+    the chain's min node is in stored orientation; compact emitted chains
+    into uid order; label every state with (uid, position).
+
+    ``node``/``orient`` give each state's ITEM id and stored orientation
+    under the caller's state indexing; ``node_of_end`` maps an end-state
+    index to its item id (free arithmetic in the interleaved 2i+o layout,
+    a gather in the rank-permuted layout).
+
+    Returns (n_unitigs, length_u, first_item, first_flip, last_item,
+    last_flip, uid_state, pos_state).
+    """
+    m = node.shape[0]
+    mn = mnmo >> 1
+    mo = mnmo & 1
+    # Aggregates (mn, mo) at a start state cover the whole chain.
+    emit_start = is_start & (mo == 0)
+    n_unitigs = emit_start.sum().astype(jnp.int32)
+
+    # ONE sort compacts emitted chains into uid order (increasing
+    # chain-min-node — the reference's seed order, compression.rs:574):
+    # row u < n_unitigs of the sorted payloads IS unitig u, so unitig
+    # metadata needs no scatters at all.  Emitted keys (chain mins) are
+    # unique, so the unstable sort is deterministic for every row read.
+    sort_key = jnp.where(emit_start, mn, jnp.int32(n))
+    out_s = jax.lax.sort(
+        [sort_key, end_id, node, orient, dist], num_keys=1, is_stable=False
+    )
+    c_end, c_node, c_orient, c_dist = out_s[1:]
+    # Chains contract: per-unitig arrays are (n,)-sized, slot u < n_unitigs
+    length_m = c_dist + 1  # full (m,) view, used by the end-state scatter
+    length_u = length_m[:n]
+    first_item = c_node[:n]
+    first_flip = c_orient[:n]
+    last_item = node_of_end(jnp.clip(c_end, 0, m - 1)[:n])
+    last_flip = (c_end & 1)[:n]
+
+    # uid + chain length at each chain's END state, then every state
+    # reads them through its own end_id.  TWO 1-lane scatters/gathers:
+    # a single packed (m, 2) ROW scatter costs 168ms at m=2.1M on v5e
+    # (vs 10ms per 1-lane scatter) — XLA's row-scatter lowering is
+    # pathological (artifacts/microbench_compress2.json)
+    uidx = jnp.arange(m, dtype=jnp.int32)
+    live = uidx < n_unitigs
+    tpos = jnp.where(live, jnp.clip(c_end, 0, m - 1), m)
+    tbl_uid = jnp.full(m, -1, jnp.int32).at[tpos].set(uidx, mode="drop")
+    tbl_len = jnp.full(m, -1, jnp.int32).at[tpos].set(length_m, mode="drop")
+    # gather cost is per ROW (width-independent), so read both lanes in
+    # ONE (m, 2) row gather; only SCATTERS need the 1-lane split
+    tbl = jnp.stack([tbl_uid, tbl_len], axis=1)
+    g = tbl[jnp.clip(end_id, 0, m - 1)]
+    uid_state = jnp.where(end_id >= 0, g[:, 0], -1)
+    chain_len = g[:, 1]
+    pos_state = chain_len - 1 - dist
+    return (n_unitigs, length_u, first_item, first_flip, last_item,
+            last_flip, uid_state, pos_state)
+
+
+_CP_FLAG = jnp.int32(1 << 30)
+
+
+def _copy_first_packed(vals, flags):
+    """Forward segmented copy-first scan on packed int32 lanes: each
+    element gets the value at its segment's START (``flags`` mark starts).
+    ``vals`` must fit in 30 bits."""
+    x = jnp.where(flags, vals | _CP_FLAG, vals)
+
+    def comb(a, b):
+        return jnp.where(b >= _CP_FLAG, b, a)
+
+    return jax.lax.associative_scan(comb, x) & (_CP_FLAG - 1)
+
+
+def _copy_last_packed(vals, is_end):
+    """Suffix variant: each element gets the value at its segment's END."""
+    return _copy_first_packed(vals[::-1], is_end[::-1])[::-1]
+
+
+def _min_suffix_packed(vals, is_end):
+    """Suffix segmented MIN on packed int32 lanes (< 2^30): at each
+    element, the min of ``vals`` from it through its segment's end."""
+    x = jnp.where(is_end, vals | _CP_FLAG, vals)[::-1]
+
+    def comb(a, b):
+        merged = jnp.minimum(a & (_CP_FLAG - 1), b & (_CP_FLAG - 1)) | (
+            a & _CP_FLAG
+        )
+        return jnp.where((b & _CP_FLAG) != 0, b | (a & _CP_FLAG), merged)
+
+    return (jax.lax.associative_scan(comb, x) & (_CP_FLAG - 1))[::-1]
+
+
+def link_chains_ordered(
+    partner_l, partner_r, in_l, in_r, valid, first_pos, cap: int
+) -> tuple:
+    """Chain linking with READ-ADJACENCY contraction (the r4->r5 compress
+    rework; reference semantics identical to :func:`link_chains`).
+
+    ``first_pos`` is each item's first-occurrence observation index
+    (filter_kmers data_reduce='obs_min').  Permuting items into discovery
+    order makes unitig chains index-contiguous: on read corpora ~98% of
+    chain edges connect rank-adjacent items (measured, 13x coverage), so
+    chains contract into ~n/30 intervals.  Pointer doubling then runs on
+    the CONTRACTED graph (two directed traversals per interval), whose
+    gathers are ~30x smaller than the full 2n-state ranking — the
+    dominant cost of compression (ROUND4_NOTES: ~4-9ns/row/round).
+
+    Correctness does NOT depend on ``first_pos`` quality — arbitrary
+    values only degrade the contraction ratio (fuzzed in tests).
+
+    ``cap`` bounds the contracted interval count (static shape).  Returns
+    (chains, overflow): when ``overflow`` is True the contracted table
+    was truncated and ``chains`` is INVALID — the caller must retry with
+    a bigger cap or fall back to :func:`link_chains`.
+
+    Requires n < 2^22 (packed int32 lanes); callers gate on it.
+    """
+    n = partner_l.shape[0]
+    if n >= (1 << 22):
+        raise ValueError("link_chains_ordered requires n < 2^22")
+    cap = min(cap, n)  # there are never more intervals than items
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    # ---- 1. permute items into discovery-rank order --------------------
+    # invalid items rank last; arange tie-break keeps the sort
+    # deterministic under the ~2x-faster unstable sort
+    aux = (
+        in_l.astype(jnp.int32)
+        | (in_r.astype(jnp.int32) << 1)
+    )
+    # clamp below the invalid sentinel so positional validity (rank <
+    # n_valid) holds for ANY caller-supplied first_pos values
+    kp = jnp.where(
+        valid,
+        jnp.clip(first_pos.astype(jnp.int32), 0, 0x7FFFFFFE),
+        jnp.int32(0x7FFFFFFF),
+    )
+    out = jax.lax.sort(
+        [kp, pos, partner_l, partner_r, aux], num_keys=2, is_stable=False
+    )
+    orig, plo, pro, auxo = out[1], out[2], out[3], out[4]
+    inl = auxo & 1
+    inr = (auxo >> 1) & 1
+    # rank of every item (inverse permutation), then partner VALUES
+    # mapped item-id -> rank: one 2n-row gather
+    rout = jax.lax.sort([orig, pos], num_keys=1, is_stable=False)
+    rank = rout[1]
+    pidx = jnp.concatenate([jnp.clip(plo, 0, n - 1), jnp.clip(pro, 0, n - 1)])
+    granks = rank[pidx]
+    rlp = jnp.where(plo >= 0, granks[:n], -1)
+    rrp = jnp.where(pro >= 0, granks[n:], -1)
+
+    # ---- 2. interval structure in rank space ---------------------------
+    # x joined to x+1 iff some partner of x IS x+1 (mutuality gives the
+    # reverse edge for free)
+    join = (rlp == pos + 1) | (rrp == pos + 1)
+    join = join.at[-1].set(False)
+    bnd = jnp.concatenate([jnp.ones(1, bool), ~join[:-1]])
+    is_end_iv = ~join
+    icid = jnp.cumsum(bnd.astype(jnp.int32)) - 1  # interval id per rank
+
+    # forward-traversal (T+) orientation per item: the stored orientation
+    # of the state that moves toward HIGHER rank inside its interval
+    # (state (i,0) exits stored R / is entered via stored L)
+    ofwd = jnp.where(
+        rrp == pos + 1, 0,
+        jnp.where(
+            rlp == pos + 1, 1,
+            jnp.where(rlp == pos - 1, 0, jnp.where(rrp == pos - 1, 1, 0)),
+        ),
+    ).astype(jnp.int32)
+
+    firstpk = _copy_first_packed((pos << 1) | ofwd, bnd)
+    lastpk = _copy_last_packed((pos << 1) | ofwd, is_end_iv)
+    a_of = firstpk >> 1        # interval first rank, per rank
+    ofwd_a = firstpk & 1
+    b_of = lastpk >> 1         # interval last rank, per rank
+    ofwd_b = lastpk & 1
+
+    # min (orig<<1 | o_fwd) over the interval, anchored at interval start
+    mnP_pk = _min_suffix_packed((orig << 1) | ofwd, is_end_iv)
+
+    # ---- 3. sigma state space (2*rank + orient) ------------------------
+    oj_r = jnp.where(inr == LEFT, 0, 1)
+    oj_l = jnp.where(inl == LEFT, 0, 1)
+    succ0 = jnp.where(rrp >= 0, 2 * rrp + oj_r, -1)  # state (x,0) exits R
+    succ1 = jnp.where(rlp >= 0, 2 * rlp + oj_l, -1)  # state (x,1) exits L
+    succ_sig = jnp.stack([succ0, succ1], axis=1).reshape(2 * n)
+    node_sig = jnp.repeat(orig, 2)
+    orient_sig = jnp.tile(jnp.arange(2, dtype=jnp.int32), n)
+    mnmo_sig0 = (node_sig << 1) | orient_sig
+    valid_r = pos < valid.sum().astype(jnp.int32)  # positional: invalid rank last
+    valid_sig = jnp.repeat(valid_r, 2)
+    no_pred = jnp.stack([rlp < 0, rrp < 0], axis=1).reshape(2 * n)
+    is_start = no_pred & valid_sig
+
+    # per-rank lookup for mapping a target state to its traversal:
+    # (interval id, is-first, is-last, o_fwd) packed in one lane
+    code = (
+        (icid << 3)
+        | (bnd.astype(jnp.int32) << 2)
+        | (is_end_iv.astype(jnp.int32) << 1)
+        | ofwd
+    )
+
+    # ---- 4. compact intervals (valid only) -----------------------------
+    key = jnp.where(valid_r & bnd, np.uint32(0), np.uint32(1 << 31)) | pos.astype(
+        jnp.uint32
+    )
+    cpk = jax.lax.sort(
+        [key, (pos << 1) | ofwd, lastpk, mnP_pk], num_keys=1, is_stable=False
+    )
+    n_iv = (valid_r & bnd).sum().astype(jnp.int32)
+    overflow = n_iv > cap
+    ca = (cpk[1] >> 1)[:cap]          # interval first rank
+    ca_of = (cpk[1] & 1)[:cap]        # o_fwd at first
+    cb = (cpk[2] >> 1)[:cap]          # interval last rank
+    cb_of = (cpk[2] & 1)[:cap]
+    cmnP = cpk[3][:cap]
+    ridx = jnp.arange(cap, dtype=jnp.int32)
+    ivlive = ridx < n_iv
+    clen = cb - ca + 1
+
+    # contracted successors: T+ exits at (b, ofwd_b), T- at (a, 1-ofwd_a)
+    csP_t = succ_sig[jnp.clip(2 * cb + cb_of, 0, 2 * n - 1)]
+    csM_t = succ_sig[jnp.clip(2 * ca + (1 - ca_of), 0, 2 * n - 1)]
+
+    def to_cid2(tsig):
+        # target sigma state -> contracted node id (2*interval + tv)
+        t = jnp.clip(tsig, 0, 2 * n - 1) >> 1
+        oj = jnp.clip(tsig, 0, 2 * n - 1) & 1
+        c = code[t]
+        isf = (c >> 2) & 1
+        ofw = c & 1
+        # the target state HAS a predecessor, so it is the entry of
+        # exactly one traversal: T+ iff it's the interval's first item in
+        # forward orientation, else T-
+        tv = jnp.where((isf == 1) & (oj == ofw), 0, 1)
+        return jnp.where(tsig >= 0, 2 * (c >> 3) + tv, -1)
+
+    csP = jnp.where(ivlive, to_cid2(csP_t), -1)
+    csM = jnp.where(ivlive, to_cid2(csM_t), -1)
+    cdP0 = jnp.where(ivlive, clen - 1 + (csP >= 0), 0)
+    cdM0 = jnp.where(ivlive, clen - 1 + (csM >= 0), 0)
+    ceP0 = jnp.where(ivlive & (csP == -1), 2 * cb + cb_of, -1)
+    ceM0 = jnp.where(ivlive & (csM == -1), 2 * ca + (1 - ca_of), -1)
+    cmP0 = jnp.where(ivlive, cmnP, jnp.int32((1 << 30) - 1))
+    cmM0 = jnp.where(ivlive, cmnP ^ 1, jnp.int32((1 << 30) - 1))
+
+    interleave = lambda p, m_: jnp.stack([p, m_], axis=1).reshape(2 * cap)
+    csucc_c = interleave(csP, csM)
+    cdist0 = interleave(cdP0, cdM0)
+    cend0 = interleave(ceP0, ceM0)
+    cmnmo0 = interleave(cmP0, cmM0)
+
+    # ---- 5. contracted ranking ----------------------------------------
+    csucc_f, cdist, cmnmo, cend = _rank_all(csucc_c, cmnmo0, cdist0, cend0)
+    any_cycle = jnp.any(csucc_f >= 0)
+
+    # ---- 6a. acyclic expansion (the normal path) -----------------------
+    def expand(_):
+        # broadcast contracted results to every rank via start-position
+        # scatters + copy-first scans (values < 2^30)
+        dP = cdist.reshape(cap, 2)[:, 0]
+        dM = cdist.reshape(cap, 2)[:, 1]
+        eP = cend.reshape(cap, 2)[:, 0]
+        eM = cend.reshape(cap, 2)[:, 1]
+        spos = jnp.where(ivlive, ca, n)
+
+        def bc(v, fill=0):
+            seed = jnp.full(n, fill, jnp.int32).at[spos].set(v, mode="drop")
+            return _copy_first_packed(seed, bnd)
+
+        DP = bc(dP)
+        DM = bc(dM)
+        # end ids may be -1: bias by +1 into [0, 2n], un-bias after
+        EP = bc(eP + 1) - 1
+        EM = bc(eM + 1) - 1
+        qP = pos - a_of
+        qM = b_of - pos
+        dist_pair = jnp.stack(
+            [
+                jnp.where(ofwd == 0, DP - qP, DM - qM),   # state o=0
+                jnp.where(ofwd == 1, DP - qP, DM - qM),   # state o=1
+            ],
+            axis=1,
+        ).reshape(2 * n)
+        end_pair = jnp.stack(
+            [
+                jnp.where(ofwd == 0, EP, EM),
+                jnp.where(ofwd == 1, EP, EM),
+            ],
+            axis=1,
+        ).reshape(2 * n)
+        # chain-min aggregates are read at START states only: scatter the
+        # contracted values straight to the entry states' sigma slots
+        entP = jnp.where(ivlive, 2 * ca + ca_of, 2 * n)
+        entM = jnp.where(ivlive, 2 * cb + (1 - cb_of), 2 * n)
+        mnP = cmnmo.reshape(cap, 2)[:, 0]
+        mnM = cmnmo.reshape(cap, 2)[:, 1]
+        mn_sig = jnp.zeros(2 * n, jnp.int32).at[entP].set(mnP, mode="drop")
+        mn_sig = mn_sig.at[entM].set(mnM, mode="drop")
+        return dist_pair, mn_sig, end_pair, jnp.zeros(2 * n, bool)
+
+    # ---- 6b. cycle fallback: full sigma-space ranking (rare) -----------
+    def cyc(_):
+        succ_f, dist_f, mnmo_f, end_f = _rank_all(succ_sig, mnmo_sig0)
+        is_cy = succ_f >= 0
+        mn_f = mnmo_f >> 1
+        cut_exit = is_cy & (node_sig == mn_f) & (orient_sig == 0)
+        # mirror edge: the state whose successor is (min item, orient 1);
+        # that state's sigma index needs rank[mn_f] — one gather, only on
+        # this rare branch
+        min_flip_sig = 2 * rank[jnp.clip(mn_f, 0, n - 1)] + 1
+        target_is_min_flipped = is_cy & (succ_sig == min_flip_sig)
+        cut_mask = cut_exit | target_is_min_flipped
+        succ_cut = jnp.where(cut_mask, -1, succ_sig)
+        _, d, mm, e = _rank_all(succ_cut, mnmo_sig0)
+        extra = jnp.zeros(2 * n, bool).at[
+            jnp.where(cut_mask, jnp.clip(succ_sig, 0, 2 * n - 1), 2 * n)
+        ].set(True, mode="drop")
+        return d, mm, e, extra
+
+    dist, mnmo, end_id, extra_starts = jax.lax.cond(
+        any_cycle, cyc, expand, None
+    )
+    is_start = is_start | (extra_starts & valid_sig)
+
+    # ---- 7. emission (shared tail) ------------------------------------
+    (n_unitigs, length_u, first_item, first_flip, last_item, last_flip,
+     uid_state, pos_state) = _emit_chains(
+        n, node_sig, orient_sig, dist, mnmo, end_id, is_start,
+        node_of_end=lambda e: node_sig[e],
+    )
+
+    emitted = uid_state >= 0
+    emit_pair = emitted.reshape(n, 2)
+    pick_b = emit_pair[:, 0]
+    take = lambda a: jnp.where(
+        pick_b, a.reshape(n, 2)[:, 0], a.reshape(n, 2)[:, 1]
+    )
+    uid_r = jnp.where(
+        valid_r & (emit_pair[:, 0] | emit_pair[:, 1]), take(uid_state), -1
+    )
+    pos_r = take(pos_state)
+    flip_r = jnp.where(pick_b, 0, 1)
+
+    # ---- 8. un-permute per-item results back to table order ------------
+    pk = (
+        (jnp.clip(pos_r, 0, (1 << 22) - 1) << 2)
+        | (flip_r << 1)
+        | (uid_r >= 0)
+    )
+    uout = jax.lax.sort([orig, uid_r, pk], num_keys=1, is_stable=False)
+    uid = jnp.where((uout[2] & 1) == 1, uout[1], -1)
+    pos_i = uout[2] >> 2
+    flip = ((uout[2] >> 1) & 1).astype(bool)
+
+    chains = Chains(
+        uid=uid,
+        pos=pos_i,
+        flip=flip,
+        n_unitigs=n_unitigs,
+        length=length_u,
+        first_item=first_item,
+        last_item=last_item,
+        first_flip=first_flip,
+        last_flip=last_flip,
+    )
+    return chains, overflow
 
 
 def _nibble_complement(nib):
@@ -455,17 +804,36 @@ def compress_kmer_table_device(
     exts,
     n_valid,
     join_labels=None,
+    first_pos=None,
+    order_cap: Optional[int] = None,
 ):
     """Full device-side compression: table arrays -> chains + unitig exts.
 
     compress_kmers_with_hash equivalent (compression.rs:588-594).
+
+    With ``first_pos`` (each kmer's first-occurrence observation index,
+    filter_kmers data_reduce='obs_min') and ``order_cap``, chain linking
+    runs through the read-adjacency contraction
+    (:func:`link_chains_ordered`) — ~30x fewer doubling gathers on read
+    corpora.  Returns (chains, u_exts, contrib[, overflow]) — the 4th
+    element only in the ordered form; overflow=True means the contracted
+    table was truncated and the caller must retry with a bigger cap.
     """
     n = kmers.shape[0]
     edges = resolve_edges(spec, stranded, kmers, exts, n_valid, join_labels)
     valid = jnp.arange(n, dtype=jnp.int32) < n_valid
-    chains = link_chains(
-        edges["partner_l"], edges["partner_r"], edges["in_l"], edges["in_r"], valid
-    )
+    overflow = None
+    if first_pos is not None:
+        chains, overflow = link_chains_ordered(
+            edges["partner_l"], edges["partner_r"], edges["in_l"],
+            edges["in_r"], valid, first_pos,
+            cap=order_cap or max(1 << 14, n // 8),
+        )
+    else:
+        chains = link_chains(
+            edges["partner_l"], edges["partner_r"], edges["in_l"],
+            edges["in_r"], valid,
+        )
     u_exts = unitig_end_exts(exts, chains)
     # per-kmer contributed base (for sequence assembly): oriented last base
     contrib = jnp.where(
@@ -473,6 +841,8 @@ def compress_kmer_table_device(
         (~KM.first_base(spec, kmers)) & np.uint32(3),
         KM.last_base(spec, kmers),
     )
+    if first_pos is not None:
+        return chains, u_exts, contrib, overflow
     return chains, u_exts, contrib
 
 
@@ -480,6 +850,15 @@ def compress_kmer_table_device(
 def _compress_jit(spec, stranded, use_join, kmers, exts, n_valid, join_labels):
     return compress_kmer_table_device(
         spec, stranded, kmers, exts, n_valid, join_labels if use_join else None
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _compress_ordered_jit(spec, stranded, order_cap, kmers, exts, n_valid,
+                          first_pos):
+    return compress_kmer_table_device(
+        spec, stranded, kmers, exts, n_valid, None,
+        first_pos=first_pos, order_cap=order_cap,
     )
 
 

@@ -162,6 +162,17 @@ def sort_observations(spec: KmerSpec, kf, ef, lab, vf, stable: bool = True):
     * when the kmer's top limb has spare pad bits (k not a multiple of
       16), the validity flag rides in limb 0's top bit instead of a
       dedicated key array — invalid slots sort after all valid kmers;
+    * when there are NO pad bits (k = 16/32/48/64) and labels are not
+      carried, invalid rows become all-ones sentinel kmers with zeroed
+      exts and validity is recovered POSITIONALLY (svalid = pos <
+      sum(vf)): sentinels sort to the tail, and the one run they can
+      share with real data (poly-T, which equals the sentinel value)
+      stays correct because sentinel exts OR in as 0 and the count of
+      that run is bounded by the valid-row total.  This drops the whole
+      dedicated flag key array from the dominant sort.  Requires
+      consumers to delimit exts aggregation by KEY CHANGE, not validity
+      (valid poly-T rows can interleave with sentinels under the
+      unstable sort) — see count_kmers' is_end.
     * exts (and the label, when present) are sort payloads — no row-index
       payload and no post-sort gathers at all.
     """
@@ -169,6 +180,17 @@ def sort_observations(spec: KmerSpec, kf, ef, lab, vf, stable: bool = True):
         flag = jnp.where(vf, np.uint32(0), np.uint32(1 << 31))
         keys = [kf[:, 0] | flag] + [kf[:, i] for i in range(1, spec.w)]
         nflag = 0
+    elif lab is None:
+        n = vf.shape[0]
+        nvalid = vf.sum().astype(jnp.int32)
+        keys = [
+            jnp.where(vf, kf[:, i], np.uint32(0xFFFFFFFF))
+            for i in range(spec.w)
+        ]
+        ef = jnp.where(vf, ef, 0)
+        out = jax.lax.sort(keys + [ef], num_keys=spec.w, is_stable=stable)
+        svalid = jnp.arange(n, dtype=jnp.int32) < nvalid
+        return list(out[: spec.w]), svalid, out[spec.w], None
     else:
         keys = [(~vf).astype(jnp.uint32)] + S.limbs_to_keys(kf)
         nflag = 1
@@ -263,6 +285,13 @@ def count_kmers(
     vf = valid.reshape(n)
     if data_reduce == "none":
         lab = None
+    elif data_reduce == "obs_min":
+        # per-OBSERVATION index (read-major discovery order), min-reduced
+        # per kmer -> data = each kmer's first-occurrence position.  Feeds
+        # compression's read-adjacency ordering (compress.link_chains_
+        # ordered): consecutive first-occurrence ranks make unitig chains
+        # index-contiguous, collapsing the pointer-doubling gathers.
+        lab = jnp.arange(n, dtype=jnp.int32)
     else:
         lab = jnp.broadcast_to(
             jnp.asarray(labels, jnp.int32)[:, None], valid.shape
@@ -271,7 +300,10 @@ def count_kmers(
     slimbs, svalid, sexts, slab = sort_observations(
         spec, kf, ef, lab, vf, stable=(data_reduce == "label_first")
     )
-    starts = S.run_starts(slimbs, svalid)
+    prev = [jnp.concatenate([kk[:1], kk[:-1]]) for kk in slimbs]
+    differs = ~S.lex_eq(slimbs, prev)
+    first = jnp.zeros(n, bool).at[0].set(True)
+    starts = svalid & (first | differs)
 
     # scatter-free segmented reductions: XLA lowers scatters poorly on TPU,
     # so all grouping work is done with scans over the sorted runs + stable
@@ -284,15 +316,22 @@ def count_kmers(
     #   * 16-bit count + 8-bit exts ride the partition as ONE packed
     #     payload lane.
     pos = jnp.arange(n, dtype=jnp.int32)
-    nxt_boundary = jnp.concatenate(
-        [starts[1:] | ~svalid[1:], jnp.ones(1, bool)]
-    )
-    is_end = svalid & nxt_boundary
+    if spec.pad == 0 and lab is None:
+        # sentinel-validity layout (see sort_observations): exts segments
+        # are delimited by KEY CHANGE only — valid poly-T rows can
+        # interleave with zero-exts sentinel rows inside the final run,
+        # and ORing across the whole run is exact because sentinel exts
+        # are 0
+        is_end = jnp.concatenate([differs[1:], jnp.ones(1, bool)])
+    else:
+        is_end = svalid & jnp.concatenate(
+            [starts[1:] | ~svalid[1:], jnp.ones(1, bool)]
+        )
 
     or_total = S.seg_or_suffix8(sexts, is_end)
     if data_reduce in ("none", "label_first"):
         lab_red = slab  # stable sort keeps first occurrence at run start
-    elif data_reduce == "min":
+    elif data_reduce in ("min", "obs_min"):
         lab_red = S.seg_op_scan(slab[::-1], is_end[::-1], jnp.minimum)[::-1]
     elif data_reduce == "max":
         lab_red = S.seg_op_scan(slab[::-1], is_end[::-1], jnp.maximum)[::-1]
@@ -304,21 +343,33 @@ def count_kmers(
     if min_obs <= 1 and n < (1 << 23):
         # every run start passes, so counts need not precede the partition:
         # carry each start's POSITION instead and difference consecutive
-        # compacted positions afterwards — drops the suffix-min scan
+        # compacted positions afterwards — drops the suffix-min scan.
+        # The partition key IS the packed payload with the pass flag in
+        # the top bit (pos < 2^23 so pos<<8 < 2^31): one array fewer in
+        # the partition sort than a separate index key — the sort moves
+        # every operand through every pass, so each dropped array cuts
+        # the dominant cost (probe_count_stages: 1.71 -> 1.12ms at 1M)
         passes = starts
         packed = (pos << 8) | (or_total & 0xFF)
-        n_valid, vout = S.partition(
-            passes,
-            list(slimbs) + [packed] + ([] if lab_red is None else [lab_red]),
+        key = jnp.where(passes, np.uint32(0), np.uint32(1 << 31)) | packed.astype(
+            jnp.uint32
         )
-        vkmers = S.keys_to_limbs(vout[: spec.w])
-        vexts = vout[spec.w] & 0xFF
-        p = vout[spec.w] >> 8
+        vout = jax.lax.sort(
+            [key] + list(slimbs) + ([] if lab_red is None else [lab_red]),
+            num_keys=1,
+            is_stable=False,
+        )
+        n_valid = passes.sum().astype(jnp.int32)
+        vkmers = S.keys_to_limbs(vout[1 : 1 + spec.w])
+        vexts = (vout[0] & np.uint32(0xFF)).astype(jnp.int32)
+        p = ((vout[0] >> np.uint32(8)) & np.uint32(0x7FFFFF)).astype(jnp.int32)
         nvalid_obs = svalid.sum().astype(jnp.int32)
         nxt = jnp.concatenate([p[1:], jnp.zeros(1, p.dtype)])
         nxt = jnp.where(pos == n_valid - 1, nvalid_obs, nxt)
         vcounts = jnp.minimum(nxt - p, 65535)
-        vdata = vout[spec.w + 1] if lab_red is not None else jnp.zeros_like(vcounts)
+        vdata = (
+            vout[1 + spec.w] if lab_red is not None else jnp.zeros_like(vcounts)
+        )
     else:
         # general path: per-run length from one suffix-min scan over the
         # boundary positions (runs are contiguous among valid rows)
@@ -1211,6 +1262,173 @@ def _merge_tables_jit(spec, s_kmers, s_packed, s_n, c_kmers, c_exts,
     return out_k, out_p, out_n, n_new, ok
 
 
+def _block_compact(starts, arrays, n_blocks, out_cols, sentinels):
+    """Compact start rows to the front of each of ``n_blocks`` contiguous
+    chunks via ONE batched per-chunk sort, then slice to ``out_cols``.
+
+    The global partition sort at 1M rows costs ~1.5ms on v5e; a batched
+    (256, 4096) sort costs ~0.1ms (artifacts/probe_sort.json) — chunk
+    locality is free here because the input is globally sorted, so
+    per-chunk compaction preserves global key order across chunk
+    boundaries.  Non-start and sliced-away rows become SENTINELS
+    (all-ones keys / zero payloads), which downstream sorts push to the
+    tail and aggregations ignore (zero counts).
+
+    Returns (compacted arrays flattened to (n_blocks*out_cols,),
+    chunk_counts (n_blocks,), ok scalar).
+    """
+    n = starts.shape[0]
+    b = n_blocks
+    m = n // b
+    col = jnp.arange(m, dtype=jnp.uint32)
+    key = jnp.where(
+        starts.reshape(b, m), np.uint32(0), np.uint32(1 << 31)
+    ) | col[None, :]
+    blocked = [a.reshape(b, m) for a in arrays]
+    out = jax.lax.sort([key] + blocked, dimension=1, num_keys=1,
+                       is_stable=False)
+    chunk_counts = starts.reshape(b, m).sum(axis=1).astype(jnp.int32)
+    oc = min(out_cols, m)  # chunks shorter than out_cols fit trivially
+    live = col[None, :oc].astype(jnp.int32) < chunk_counts[:, None]
+    res = []
+    for a, sent in zip(out[1:], sentinels):
+        sl = jnp.where(live, a[:, :oc], sent)
+        if out_cols > m:
+            sl = jnp.concatenate(
+                [sl, jnp.full((b, out_cols - m), sent, a.dtype)], axis=1
+            )
+        res.append(sl.reshape(b * out_cols))
+    ok = (chunk_counts <= out_cols).all()
+    return res, chunk_counts, ok
+
+
+def count_kmers_blocks(
+    spec: KmerSpec,
+    bases,
+    lengths,
+    seq_exts,
+    *,
+    stranded: bool,
+    out_cols: int,
+    n_blocks: int = 256,
+):
+    """The streaming-merge count program: per-batch kmer dedup emitting a
+    BLOCK-COMPACTED sentinel-encoded table (filter.rs:139-231 semantics,
+    CountFilter shape — counts only).
+
+    Pipeline: extract -> canonicalize -> ONE W-key sentinel sort (no
+    validity flag arrays at all: invalid rows become all-ones kmers with
+    zero payloads and sort to the tail) -> ONE packed (count<<8)|exts
+    suffix scan -> block-compaction (batched per-chunk sort, ~15x
+    cheaper than the global partition).
+
+    Returns (limbs (n_blocks*out_cols, W), packed (n_blocks*out_cols,),
+    n_unique, ok).  Rows are globally sorted among live rows; dead rows
+    are all-ones/zero sentinels.  ``ok`` False means some chunk had more
+    unique kmers than ``out_cols`` and the output is truncated — the
+    caller must grow ``out_cols`` and retry (the self-guarding merge
+    refuses truncated chunks).
+    """
+    kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
+    kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
+    n = kmers.shape[0] * kmers.shape[1]
+    w = spec.w
+    kf = kmers.reshape(n, w)
+    ef = exts.reshape(n)
+    vf = valid.reshape(n)
+
+    keys = [
+        jnp.where(vf, kf[:, i], np.uint32(0xFFFFFFFF)) for i in range(w)
+    ]
+    packed = jnp.where(vf, (jnp.int32(1) << 8) | (ef & 0xFF), 0)
+    out = jax.lax.sort(keys + [packed], num_keys=w, is_stable=False)
+    slimbs, spacked = list(out[:w]), out[w]
+
+    prev = [jnp.concatenate([kk[:1], kk[:-1]]) for kk in slimbs]
+    differs = ~S.lex_eq(slimbs, prev)
+    starts = differs.at[0].set(True)
+    is_end = jnp.concatenate([differs[1:], jnp.ones(1, bool)])
+    agg = _seg_sum_or_suffix(spacked, is_end)
+    # the all-ones run head is a start but aggregates to count 0 when it
+    # holds only sentinels; with no pad bits a REAL poly-T kmer shares
+    # the sentinel value and the head row then carries its true count —
+    # live rows are exactly those with a count (packed >= 256)
+    n_unique = (starts & (agg >= 256)).sum().astype(jnp.int32)
+
+    res, _, ok = _block_compact(
+        starts, slimbs + [agg], n_blocks, out_cols,
+        [np.uint32(0xFFFFFFFF)] * w + [jnp.int32(0)],
+    )
+    climbs = S.keys_to_limbs(res[:w])
+    return climbs, res[w], n_unique, ok
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _count_kmers_blocks_jit(spec, stranded, out_cols, bases, lengths, seq_exts):
+    return count_kmers_blocks(
+        spec, bases, lengths, seq_exts, stranded=stranded, out_cols=out_cols
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _merge_blocks_jit(spec, s_kmers, s_packed, c_kmers, c_packed, n_blocks,
+                      c_ok):
+    """Fold a sentinel-encoded block table into the sentinel-encoded
+    device state: ONE W-key sort over C+U rows (sentinels need no
+    validity arrays), ONE packed suffix scan, block-compaction back to C
+    rows.  Self-guarding: if any output chunk overflows C//n_blocks or
+    the incoming chunk was truncated (``c_ok`` False), the state is
+    returned unchanged and the caller replays after growing capacity.
+
+    Returns (kmers (C, W), packed (C,), n_unique, ok).
+    """
+    w = spec.w
+    c = s_kmers.shape[0]
+    cols = [
+        jnp.concatenate([s_kmers[:, i], c_kmers[:, i]]) for i in range(w)
+    ]
+    pay = jnp.concatenate([s_packed, c_packed])
+    out = jax.lax.sort(cols + [pay], num_keys=w, is_stable=False)
+    slimbs, spacked = list(out[:w]), out[w]
+    prev = [jnp.concatenate([kk[:1], kk[:-1]]) for kk in slimbs]
+    differs = ~S.lex_eq(slimbs, prev)
+    starts = differs.at[0].set(True)
+    is_end = jnp.concatenate([differs[1:], jnp.ones(1, bool)])
+    agg = _seg_sum_or_suffix(spacked, is_end)
+    n_unique = (starts & (agg >= 256)).sum().astype(jnp.int32)
+
+    res, _, ok = _block_compact(
+        starts, slimbs + [agg], n_blocks, c // n_blocks,
+        [np.uint32(0xFFFFFFFF)] * w + [jnp.int32(0)],
+    )
+    ok = ok & c_ok
+    new_k = S.keys_to_limbs(res[:w])
+    new_p = res[w]
+    out_k = jnp.where(ok, new_k, s_kmers)
+    out_p = jnp.where(ok, new_p, s_packed)
+    return out_k, out_p, n_unique, ok
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _extract_blocks_state_jit(spec, s_kmers, s_packed):
+    """Dense sorted table from the sentinel-gapped block state: one
+    partition by liveness (live rows are already in global kmer order)."""
+    n = s_kmers.shape[0]
+    live = s_packed >= 256
+    key = jnp.arange(n, dtype=jnp.uint32) | jnp.where(
+        live, np.uint32(0), np.uint32(1 << 31)
+    )
+    out = jax.lax.sort(
+        [key] + [s_kmers[:, i] for i in range(spec.w)] + [s_packed],
+        num_keys=1, is_stable=False,
+    )
+    return (
+        S.keys_to_limbs(out[1 : 1 + spec.w]),
+        out[1 + spec.w],
+        live.sum().astype(jnp.int32),
+    )
+
+
 def _merge_sorted_parts(spec: KmerSpec, plist, data_reduce: str):
     """Merge sorted-unique partial kmer tables into one (host side).
 
@@ -1313,40 +1531,48 @@ def filter_kmers_streaming(
                 "merge='device' supports data_reduce='none' only (labels "
                 "cannot ride the device merge); use merge='host'"
             )
+        # the block pipeline reshapes the obs stream into 256 chunks:
+        # rows must stay a power of two (see flush/flush_block rounding)
+        chunk_reads = 1 << max(8, (chunk_reads - 1).bit_length())
+        u0 = unique_capacity or max(1 << 16, init_capacity // 2)
         dstate = {
-            "kmers": None, "packed": None, "n": None, "C": init_capacity,
-            # chunk-unique capacity: the merge program is C + U rows —
-            # two-level shape, every compiled program stays small no
-            # matter how the corpus grows
-            "U": unique_capacity or max(1 << 16, init_capacity // 2),
+            "kmers": None, "packed": None, "n": None,
+            "C": max(1 << 13, 1 << (init_capacity - 1).bit_length()),
+            # chunk-side block table: 256 blocks x out_cols rows; the
+            # merge program is C + 256*out_cols rows — two-level shape,
+            # every compiled program stays small no matter how the
+            # corpus grows
+            "out_cols": 1 << max(2, (max(u0 // 256, 1) - 1).bit_length()),
+            "NB": 256,       # count-side blocks
+            "MB": 128,       # merge-side blocks
             # deferred-confirmation machinery: merges are self-guarding
             # no-ops on overflow; diagnostics are read back LAGGED and
             # BATCHED so the stream never blocks on the tunnel per chunk
-            "pending": [],  # (chunk numpy tuple, n_new dev, applied dev)
+            "pending": [],  # (chunk numpy tuple, n_new, count_ok, ok)
             "confirm_every": 32,
         }
 
     def _dev_init():
         if dstate["kmers"] is None:
             c0 = dstate["C"]
-            dstate["kmers"] = jnp.zeros((c0, spec.w), jnp.uint32)
+            # sentinel state: all-ones kmers + zero packed = dead rows
+            dstate["kmers"] = jnp.full((c0, spec.w), 0xFFFFFFFF, jnp.uint32)
             dstate["packed"] = jnp.zeros(c0, jnp.int32)
             dstate["n"] = jnp.int32(0)
 
     def _dev_stage(chunk_np):
-        """Enqueue dedupe + guarded merge of one chunk; no host sync."""
-        arr, lengths, seq_exts, labels = chunk_np
-        da, dl, de, dlab = map(jnp.asarray, chunk_np)
-        dev = _count_kmers_jit(
-            spec, stranded, 1, "none", False, da, dl, de, dlab
+        """Enqueue block dedupe + guarded block merge of one chunk; no
+        host sync."""
+        da, dl, de, _dlab = map(jnp.asarray, chunk_np)
+        ck, cp, c_n, c_ok = _count_kmers_blocks_jit(
+            spec, stranded, dstate["out_cols"], da, dl, de
         )
-        u = min(dstate["U"], dev.kmers.shape[0])
-        nk, npk, nn, n_new, ok = _merge_tables_jit(
-            spec, dstate["kmers"], dstate["packed"], dstate["n"],
-            dev.kmers[:u], dev.exts[:u], dev.counts[:u], dev.n_valid,
+        nk, npk, n_new, ok = _merge_blocks_jit(
+            spec, dstate["kmers"], dstate["packed"], ck, cp,
+            dstate["MB"], c_ok,
         )
-        dstate["kmers"], dstate["packed"], dstate["n"] = nk, npk, nn
-        dstate["pending"].append((chunk_np, n_new, dev.n_valid, ok))
+        dstate["kmers"], dstate["packed"], dstate["n"] = nk, npk, n_new
+        dstate["pending"].append((chunk_np, n_new, c_ok, ok))
 
     def _dev_confirm(force=False):
         """Read pending diagnostics in ONE batched transfer; grow + replay
@@ -1359,26 +1585,31 @@ def filter_kmers_streaming(
         pend = dstate["pending"]
         dstate["pending"] = []
         flat = []
-        for _, nn, cn, ok in pend:
-            flat += [nn, cn, ok.astype(jnp.int32)]
+        for _, nn, cok, ok in pend:
+            flat += [nn, cok.astype(jnp.int32), ok.astype(jnp.int32)]
         diag = np.asarray(jnp.stack(flat)).reshape(len(pend), 3)
         dropped = [pend[i][0] for i in range(len(pend)) if diag[i, 2] == 0]
         if not dropped:
             return
-        need_c = int(diag[:, 0].max())
-        need_u = int(diag[:, 1].max())
-        while dstate["U"] < need_u:
-            dstate["U"] *= 2
-        if need_c > dstate["C"]:
+        if (diag[:, 1] == 0).any():
+            # count-side block truncation: widen the chunk block table
+            dstate["out_cols"] *= 2
+        if ((diag[:, 1] == 1) & (diag[:, 2] == 0)).any():
+            # merge-side chunk overflow: double state capacity (handles
+            # both global growth and local all-unique key ranges)
+            need = max(dstate["C"] * 2, 1 << int(2 * diag[:, 0].max() - 1).bit_length())
             c2 = dstate["C"]
-            while c2 < need_c:
+            while c2 < need:
                 c2 *= 2
             log.info(
                 "filter_kmers_streaming[device]: growing table capacity "
-                "%d -> %d (U=%d)", dstate["C"], c2, dstate["U"],
+                "%d -> %d (out_cols=%d)", dstate["C"], c2, dstate["out_cols"],
             )
             pad = c2 - dstate["C"]
-            dstate["kmers"] = jnp.pad(dstate["kmers"], ((0, pad), (0, 0)))
+            dstate["kmers"] = jnp.pad(
+                dstate["kmers"], ((0, pad), (0, 0)),
+                constant_values=np.uint32(0xFFFFFFFF),
+            )
             dstate["packed"] = jnp.pad(dstate["packed"], ((0, pad),))
             dstate["C"] = c2
         log.info(
@@ -1530,13 +1761,18 @@ def filter_kmers_streaming(
                 np.zeros(0, np.int32), np.zeros(0, np.int32),
             )
         _dev_confirm(force=True)
-        n = int(dstate["n"])
+        # densify the sentinel-gapped block state ONCE (amortized over
+        # the whole stream), then pull
+        dk, dp, dn = _extract_blocks_state_jit(
+            spec, dstate["kmers"], dstate["packed"]
+        )
+        n = int(dn)
         nb = 256
         while nb < n:
             nb *= 2
         nb = min(nb, dstate["C"])
-        kk = np.asarray(dstate["kmers"][:nb])[:n]
-        pp = np.asarray(dstate["packed"][:nb])[:n]
+        kk = np.asarray(dk[:nb])[:n]
+        pp = np.asarray(dp[:nb])[:n]
         counts = ((pp >> 8) & 0xFFFF).astype(np.int32)  # u16-saturated
         exts = (pp & 0xFF).astype(np.int32)
         keep = counts >= min_obs

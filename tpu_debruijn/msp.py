@@ -281,6 +281,48 @@ def score_table_from_fn(p: int, fn) -> np.ndarray:
     return out
 
 
+def inverse_frequency_score_table(p: int, bases, lengths=None) -> np.ndarray:
+    """Load-balancing p-mer score table from a corpus sample
+    (msp.rs:57-59, :298-311 role: the reference threads a permutation
+    through msp_sequence so frequent minimizers stop dominating buckets).
+
+    Scores p-mers by ascending corpus frequency: rare p-mers get LOW
+    scores and win window minima, so no single frequent p-mer (poly-A
+    runs are the classic offender) collects a giant bucket.  Counting is
+    canonical (a p-mer and its RC share a frequency) to match the
+    ``rc=True`` scan.  Ties break lexicographically (stable argsort), so
+    the table is deterministic.
+
+    ``bases``: (R, L) sample read matrix (a few thousand reads suffice).
+    Returns a (4^p,) int32 score table for the ``permutation`` scan arg.
+    """
+    if p > 13:
+        raise ValueError("inverse_frequency_score_table requires p <= 13")
+    b = np.asarray(bases, np.int64)
+    r, l = b.shape
+    if l < p:
+        raise ValueError(f"sample reads shorter than p={p}")
+    ranks = np.zeros((r, l - p + 1), np.int64)
+    for j in range(p):
+        ranks = (ranks << 2) | b[:, j : j + l - p + 1]
+    if lengths is not None:
+        ll = np.asarray(lengths)[:, None]
+        mask = np.arange(l - p + 1)[None, :] <= (ll - p)
+        ranks = ranks[mask]
+    hist = np.bincount(ranks.reshape(-1), minlength=4 ** p)
+    # canonical: fold rc counts together
+    rcr = np.arange(4 ** p, dtype=np.int64)
+    rc = np.zeros_like(rcr)
+    for _ in range(p):
+        rc = (rc << 2) | (3 - (rcr & 3))
+        rcr >>= 2
+    hist = hist + hist[rc]
+    order = np.argsort(hist, kind="stable")
+    score = np.empty(4 ** p, np.int32)
+    score[order] = np.arange(4 ** p, dtype=np.int32)
+    return score
+
+
 @partial(jax.jit, static_argnums=(0, 1, 4))
 def _msp_jit(k, p, bases, lengths, rc, permutation):
     iv = msp_intervals_device(k, p, bases, lengths, permutation, rc)

@@ -57,15 +57,21 @@ class ShardPlan:
         return 2 * self.k - self.p  # msp.rs:292 bound
 
 
-def _scatter_intervals(plan: ShardPlan, bases, lengths, labels):
+def _scatter_intervals(plan: ShardPlan, bases, lengths, labels,
+                       permutation=None):
     """Local MSP scan + all_to_all bucket exchange.
+
+    ``permutation`` is an optional (4^p,) minimizer score table (e.g.
+    msp.inverse_frequency_score_table) threaded into the scan — the
+    reference's load-balancing permutation (msp.rs:57-59, :298-311).
 
     Returns received (sub_bases, sub_len, sub_exts, sub_labels) arrays of
     leading dim n_shards * cap_per_dest, plus the local overflow count
     (intervals dropped because a destination's slots filled up).
     """
     k, p, ns, cap_d = plan.k, plan.p, plan.n_shards, plan.cap_per_dest
-    iv = M.msp_intervals_device(k, p, bases, lengths, None, rc=not plan.stranded)
+    iv = M.msp_intervals_device(k, p, bases, lengths, permutation,
+                                rc=not plan.stranded)
     sub = M.gather_interval_bases(k, p, bases, iv)  # (cap, 2k-p)
     cap = sub.shape[0]
     valid = jnp.arange(cap, dtype=jnp.int32) < iv["n_intervals"]
@@ -105,7 +111,7 @@ def _scatter_intervals(plan: ShardPlan, bases, lengths, labels):
 
 
 def sharded_count_step(plan: ShardPlan, data_reduce: str = "label_first",
-                       stitch: bool = False):
+                       stitch: bool = False, permutation=None):
     """Build the per-device step function (to be wrapped in shard_map).
 
     Returns fn(bases, lengths, labels) -> (KmerTableDev, chains, u_exts,
@@ -117,7 +123,7 @@ def sharded_count_step(plan: ShardPlan, data_reduce: str = "label_first",
 
     def step(bases, lengths, labels):
         sub, slen, sexts, slab, overflow = _scatter_intervals(
-            plan, bases, lengths, labels
+            plan, bases, lengths, labels, permutation
         )
         table = F.count_kmers(
             plan.spec,
@@ -128,7 +134,20 @@ def sharded_count_step(plan: ShardPlan, data_reduce: str = "label_first",
             stranded=plan.stranded,
             min_obs=plan.min_obs,
             data_reduce=data_reduce,
+            report_all=plan.min_obs > 1,
         )
+        if plan.min_obs > 1:
+            # per-shard censored-ext repair BEFORE compression
+            # (filter.rs:238-276): drop extensions whose target is in
+            # this shard's census but censored; keep cross-shard
+            # unknowns (the stitch's fix_exts resolves those globally).
+            # Without this, same-shard censored exts would survive as
+            # branch evidence into the per-shard compression.
+            repaired = F.remove_censored_exts_device(
+                plan.spec, plan.stranded, table.kmers, table.exts,
+                table.n_valid, table.all_kmers, table.all_n,
+            )
+            table = dataclasses.replace(table, exts=repaired)
         chains, u_exts, contrib = C.compress_kmer_table_device(
             plan.spec, plan.stranded, table.kmers, table.exts, table.n_valid
         )
@@ -223,7 +242,8 @@ def _global_stitch_device(plan: ShardPlan, kmers, chains, u_exts):
     return gchains, final_exts
 
 
-def _dest_histogram_fn(k: int, p: int, n_shards: int, stranded: bool, mesh):
+def _dest_histogram_fn(k: int, p: int, n_shards: int, stranded: bool, mesh,
+                       permutation=None):
     """Cheap first pass for count-then-allocate buffer sizing (SURVEY §7
     hard part 4): per-device histogram of MSP intervals by destination.
 
@@ -232,7 +252,8 @@ def _dest_histogram_fn(k: int, p: int, n_shards: int, stranded: bool, mesh):
     """
 
     def step(bases, lengths):
-        iv = M.msp_intervals_device(k, p, bases, lengths, None, rc=not stranded)
+        iv = M.msp_intervals_device(k, p, bases, lengths, permutation,
+                                    rc=not stranded)
         cap = iv["bucket"].shape[0]
         valid = jnp.arange(cap, dtype=jnp.int32) < iv["n_intervals"]
         dest = jnp.where(valid, iv["bucket"] % n_shards, n_shards)
@@ -251,8 +272,8 @@ def _dest_histogram_fn(k: int, p: int, n_shards: int, stranded: bool, mesh):
 
 
 def _shard_map_fn(plan: ShardPlan, mesh, data_reduce: str = "label_first",
-                  stitch: bool = False):
-    step = sharded_count_step(plan, data_reduce, stitch)
+                  stitch: bool = False, permutation=None):
+    step = sharded_count_step(plan, data_reduce, stitch, permutation)
     return jax.jit(
         jax.shard_map(
             step,
@@ -289,8 +310,14 @@ def sharded_tables(
     cap_per_dest: Optional[int] = None,
     data_reduce: str = "label_first",
     stitch: bool = False,
+    permutation=None,
 ):
     """Run the device-sharded scan/exchange/count/compress step.
+
+    ``permutation``: optional (4^p,) minimizer score table (see
+    msp.inverse_frequency_score_table) applied in both the sizing
+    histogram and the scan itself — balances bucket loads under skewed
+    minimizer distributions (msp.rs:57-59, :298-311).
 
     Buffer sizing is count-then-allocate by default (SURVEY §7 hard part
     4): a cheap histogram pass counts intervals per (source, destination)
@@ -322,7 +349,9 @@ def sharded_tables(
         if slack is not None:
             cap_per_dest = min(cap, max(16, int(np.ceil(cap * slack / n_shards))))
         else:
-            hist_fn = _dest_histogram_fn(k, p, n_shards, stranded, mesh)
+            hist_fn = _dest_histogram_fn(k, p, n_shards, stranded, mesh,
+                                         None if permutation is None
+                                         else jnp.asarray(permutation))
             hist = np.asarray(hist_fn(jnp.asarray(bases), jnp.asarray(lengths)))
             need = int(hist.max())
             # round up to a multiple of 128 so repeated runs with similar
@@ -334,7 +363,9 @@ def sharded_tables(
         "sharded_tables: %d reads over %d shards, cap_per_dest=%d",
         bases.shape[0], n_shards, cap_per_dest,
     )
-    fn = _shard_map_fn(plan, mesh, data_reduce, stitch)
+    fn = _shard_map_fn(plan, mesh, data_reduce, stitch,
+                       None if permutation is None
+                       else jnp.asarray(permutation))
     out = fn(jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(labels))
     table, chains, u_exts, contrib, overflow = out[:5]
     total_overflow = int(np.asarray(overflow).sum())
@@ -361,6 +392,7 @@ def assemble_sharded(
     cap_per_dest: Optional[int] = None,
     data_reduce_compress: str = "sum_sat_u16",
     collective: bool = True,
+    permutation=None,
 ):
     """Full sharded assembly == test.rs:418-504 in one call.
 
@@ -390,6 +422,7 @@ def assemble_sharded(
         slack=slack,
         cap_per_dest=cap_per_dest,
         stitch=collective,
+        permutation=permutation,
     )
     plan, table, chains, u_exts, contrib = out[:5]
     spec = plan.spec
