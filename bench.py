@@ -251,14 +251,17 @@ def main():
         def merge(sk, sp, ck_, cp_, cok):
             return F._merge_blocks_jit(spec, sk, sp, ck_, cp_, 128, cok)
 
-        # seed the state with one merge from empty (all-unique chunks can
-        # overflow the block compaction there — grow like the runtime
-        # does), then time the steady-state shape: folding a batch into a
-        # state that already holds the corpus table
+        # seed the state through the guaranteed-progress dense merge (the
+        # block merge legitimately refuses the all-unique first merge),
+        # then time the optimistic block merge in its steady state:
+        # folding a batch into a state that already holds the corpus
+        # table — exactly the streaming loop's shape
         while True:
             s_k = jnp.full((cap_c, spec.w), 0xFFFFFFFF, jnp.uint32)
             s_p = jnp.zeros(cap_c, jnp.int32)
-            mk, mp, mn, mok = merge(s_k, s_p, ck, cp, c_ok)
+            mk, mp, mn, mok = F._merge_blocks_dense_jit(
+                spec, s_k, s_p, ck, cp, c_ok
+            )
             if bool(np.asarray(mok)):
                 break
             cap_c *= 2
@@ -303,7 +306,7 @@ def main():
             "count_kmers_per_s": round(n_kmers / count_s, 1),
             "count_s_per_batch": round(count_s, 5),
             "merge_s_per_batch": round(merge_s, 5),
-            "merge_capacity": [cap_c, cap_u],
+            "merge_capacity": [cap_c, 256 * out_cols],
             "compress_s": round(compress_s, 5),
             "compress_cap": cap,
             "corpus_kmers_per_s": round(corpus_kmers / e2e_s, 1),

@@ -138,4 +138,38 @@ int64_t db_fastx_extract(const uint8_t* buf, int64_t start, int64_t end,
     return m;
 }
 
+// Batched extract: decode ``m`` records (given their [start, end) spans)
+// straight into one (m, row_stride) 2-BIT-PACKED row matrix (4 bases per
+// byte, little-endian within the byte — the device streaming pipeline's
+// upload format, filter._unpack2bit) plus per-record lengths.  One call
+// replaces m Python-side ctypes round trips — the streaming feeder's
+// per-record overhead at 1M+ reads.  Rows longer than row_stride*4 bases
+// are truncated (callers size the stride from the corpus).  Returns the
+// number of invalid (non-ACGT, encoded 0) characters seen.
+int64_t db_fastx_extract_batch(const uint8_t* buf, const int64_t* rec_start,
+                               const int64_t* rec_end, int64_t m,
+                               uint8_t* packed_rows, int64_t row_stride,
+                               int32_t* lengths) {
+    int64_t bad = 0;
+    for (int64_t r = 0; r < m; ++r) {
+        uint8_t* row = packed_rows + r * row_stride;
+        std::memset(row, 0, (size_t)row_stride);
+        int64_t len = 0;
+        int64_t cap = row_stride * 4;
+        for (int64_t i = rec_start[r]; i < rec_end[r] && len < cap; ++i) {
+            uint8_t c = buf[i];
+            if (c == '\n' || c == '\r' || c == ' ' || c == '\t') continue;
+            uint8_t x = (c >> 1) & 3;
+            uint8_t code = x ^ ((x >> 1) & 1);
+            uint8_t up = c & 0xDF;
+            uint8_t ok = (up == 'A') | (up == 'C') | (up == 'G') | (up == 'T');
+            bad += !ok;
+            row[len >> 2] |= (uint8_t)((ok ? code : 0) << (2 * (len & 3)));
+            ++len;
+        }
+        lengths[r] = (int32_t)len;
+    }
+    return bad;
+}
+
 }  // extern "C"

@@ -1,13 +1,18 @@
-"""Colored (multi-sample) assembly capability run on the live backend.
+"""Colored (multi-sample) assembly throughput on the live backend.
 
-Builds a 3-sample colored corpus (~3M kmer observations), runs the
-array-native CountFilterSet pipeline (filter_kmers_set_arrays), folds the
-color sets through compression (compress_kmers_color_sets — the
-SimpleCompress(extend) pattern over Vec<u8> colors, filter.rs:68-101 +
-compression.rs:40-65), and records wall times + per-unitig color stats
-into artifacts/colored_run.json.
+r5 rework (VERDICT r4 next-step 3): the colored pipeline now runs
+through the DEVICE streaming merge — (kmer, label) pairs ride the block
+count/merge programs as one extra sort key — and the per-unitig color
+union folds on device (compress._fold_pairs_device).  The r4 path
+(filter_kmers_set_arrays + host np.unique fold) measured 102.6k obs/s;
+this path streams pre-batched read blocks and keeps the pair table
+device-resident until one final pull.
 
-Run: python scripts/bench_colored.py [--cpu] [--reads-per-sample 2700]
+Two configs: the r4 colored_run.json shape (~1.05M obs) and a 10M+ obs
+scale run (--scale).  Wall times EXCLUDE compile (one warm-up pass on a
+small prefix) but include all host staging and tunnel transfers.
+
+Run: python scripts/bench_colored.py [--cpu] [--scale]
 """
 
 import argparse
@@ -21,6 +26,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def build_corpus(rng, samples, reads_per_sample, L):
+    core = rng.integers(0, 4, 60_000).astype(np.uint8)
+    blocks = []
+    for s in range(samples):
+        flank_l = rng.integers(0, 4, 20_000).astype(np.uint8)
+        flank_r = rng.integers(0, 4, 20_000).astype(np.uint8)
+        g = np.concatenate([flank_l, core, flank_r])
+        starts = rng.integers(0, len(g) - L, reads_per_sample)
+        b = g[starts[:, None] + np.arange(L)[None, :]]
+        flip = rng.random(reads_per_sample) < 0.5
+        b[flip] = (3 - b[flip, ::-1]).astype(np.uint8)
+        blocks.append(b)
+    return blocks
+
+
+def run(blocks, k, L, min_obs, chunk_reads):
+    from tpu_debruijn import filter as F
+
+    stream = [
+        (b, 0, s) for s, b in enumerate(blocks)
+    ]  # pre-batched block items: (bases (m, L), seq_exts, label)
+    return F.filter_kmers_streaming(
+        iter(stream), k, stranded=False, min_obs=min_obs,
+        merge="device", colored=True, data_reduce="none",
+        chunk_reads=chunk_reads, init_capacity=1 << 19,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads-per-sample", type=int, default=2700)
@@ -28,7 +61,11 @@ def main():
     ap.add_argument("--samples", type=int, default=3)
     ap.add_argument("--k", type=int, default=31)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--scale", action="store_true",
+                    help="10M+ obs scale artifact (colored_scale_run.json)")
     args = ap.parse_args()
+    if args.scale:
+        args.reads_per_sample = 26000
 
     import jax
 
@@ -42,34 +79,26 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tpu_debruijn import compress as C
-    from tpu_debruijn import filter as F
     from tpu_debruijn.graph import from_compress_output
 
     rng = np.random.default_rng(11)
-    # three overlapping genomes: a shared core plus per-sample flanks,
-    # so color sets genuinely mix ({0},{1},{2},{0,1},...,{0,1,2})
-    core = rng.integers(0, 4, 60_000).astype(np.uint8)
-    genomes = []
-    for s in range(args.samples):
-        flank_l = rng.integers(0, 4, 20_000).astype(np.uint8)
-        flank_r = rng.integers(0, 4, 20_000).astype(np.uint8)
-        genomes.append(np.concatenate([flank_l, core, flank_r]))
+    blocks = build_corpus(rng, args.samples, args.reads_per_sample,
+                          args.read_len)
+    n_reads = args.samples * args.reads_per_sample
+    n_obs = n_reads * (args.read_len - args.k + 1)
+    chunk_reads = 8192
 
-    reads = []
-    L = args.read_len
-    for s, g in enumerate(genomes):
-        for _ in range(args.reads_per_sample):
-            p = int(rng.integers(0, len(g) - L))
-            r = g[p : p + L].copy()
-            if rng.random() < 0.5:
-                r = (3 - r[::-1]).astype(np.uint8)
-            reads.append((r, 0, s))
+    # warm-up: compile every program shape on a small prefix
+    warm = [b[: min(chunk_reads, len(b))] for b in blocks]
+    run(warm, args.k, args.read_len, 2, chunk_reads)
+    _pre = [b[: min(256, len(b))] for b in blocks]
+    tb, plb, spb = run(_pre, args.k, args.read_len, 2, chunk_reads)
+    if len(tb):
+        C.compress_kmers_color_sets(tb, plb, spb)
 
-    n_obs = len(reads) * (L - args.k + 1)
     t0 = time.time()
-    table, pair_label, split = F.filter_kmers_set_arrays(
-        reads, args.k, stranded=False, min_obs=2
-    )
+    table, pair_label, split = run(blocks, args.k, args.read_len, 2,
+                                   chunk_reads)
     t_filter = time.time() - t0
 
     t0 = time.time()
@@ -91,24 +120,28 @@ def main():
     )
     result = {
         "device": str(jax.devices()[0]),
+        "pipeline": "colored streaming device merge (r5) + device pair fold",
         "samples": args.samples,
-        "n_reads": len(reads),
+        "n_reads": n_reads,
         "n_kmer_obs": n_obs,
         "n_valid_kmers": len(table),
         "n_color_pairs": len(pair_label),
         "n_unitigs": len(nodes),
-        "filter_wall_s": round(t_filter, 1),
-        "compress_wall_s": round(t_compress, 1),
+        "n_graph_nodes": len(graph),
+        "filter_wall_s": round(t_filter, 2),
+        "compress_wall_s": round(t_compress, 2),
         "obs_per_s": round(n_obs / (t_filter + t_compress), 1),
         "unitig_color_set_histogram": {
-            str(kset): cnt for kset, cnt in sorted(dist.items())
+            str(kset): cnt
+            for kset, cnt in sorted(dist.items())[:20]
         },
         "mean_colors_per_unitig": round(float(set_sizes.mean()), 2)
         if len(set_sizes)
         else 0,
     }
     print(json.dumps(result, indent=1))
-    with open(os.path.join(repo, "artifacts", "colored_run.json"), "w") as f:
+    name = "colored_scale_run.json" if args.scale else "colored_run.json"
+    with open(os.path.join(repo, "artifacts", name), "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
 

@@ -58,6 +58,19 @@ def main():
     ap.add_argument("--memory-gb", type=float, default=2.0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--min-obs", type=int, default=2)
+    ap.add_argument("--repeat-rich", action="store_true",
+                    help="tile the genome from a small chunk pool "
+                         "(test.rs:98-132 analog): a branchy repeat graph "
+                         "with >= 10^4 unitigs, so compression does real "
+                         "work at scale")
+    ap.add_argument("--fasta", default=None,
+                    help="stream reads from this FASTA/FASTQ file via the "
+                         "native batched scanner (io.stream_fastx_blocks) "
+                         "instead of the synthetic generator")
+    ap.add_argument("--write-fasta", action="store_true",
+                    help="write the synthetic corpus to a FASTA first, "
+                         "then stream THAT file through the native "
+                         "scanner (end-to-end file ingestion at scale)")
     ap.add_argument("--merge", default="device", choices=["device", "host"],
                     help="device: table accumulates on-device, one final "
                          "transfer (the fast path); host: per-chunk table "
@@ -88,7 +101,41 @@ def main():
     k = args.k
     n_kmers = args.reads * (args.read_len - k + 1)
     rng = np.random.default_rng(7)
-    genome = rng.integers(0, 4, args.genome).astype(np.uint8)
+    if args.repeat_rich:
+        pool = [rng.integers(0, 4, 300).astype(np.uint8) for _ in range(256)]
+        parts = [pool[int(rng.integers(0, len(pool)))]
+                 for _ in range(args.genome // 300 + 1)]
+        genome = np.concatenate(parts)[: args.genome]
+    else:
+        genome = rng.integers(0, 4, args.genome).astype(np.uint8)
+
+    if args.write_fasta and not args.fasta:
+        from tpu_debruijn.bases import bases_to_str
+
+        args.fasta = os.path.join("/tmp", "scale_reads.fa")
+        print(f"writing {args.reads} reads to {args.fasta}", flush=True)
+        with open(args.fasta, "w") as f:
+            for blk in read_stream(args.reads, args.read_len, genome,
+                                   batch=args.block):
+                for i, row in enumerate(blk[0]):
+                    f.write(">r\n")
+                    f.write(bases_to_str(row))
+                    f.write("\n")
+
+    def corpus_stream(n):
+        if args.fasta:
+            from tpu_debruijn.io import stream_fastx_blocks
+
+            count = 0
+            for pb in stream_fastx_blocks(args.fasta,
+                                          block_reads=args.block):
+                yield pb
+                count += pb.packed.shape[0]
+                if count >= n:
+                    return
+        else:
+            yield from read_stream(n, args.read_len, genome,
+                                   batch=args.block)
 
     # warm pass: 2 blocks through the same code path, loading/compiling
     # every program (first-dispatch executable loads through this image's
@@ -96,7 +143,7 @@ def main():
     # the throughput measurement; production streams amortize them)
     t0 = time.time()
     F.filter_kmers_streaming(
-        read_stream(2 * args.block, args.read_len, genome, batch=args.block),
+        corpus_stream(2 * args.block),
         k,
         stranded=False,
         min_obs=args.min_obs,
@@ -112,7 +159,7 @@ def main():
 
     t0 = time.time()
     table = F.filter_kmers_streaming(
-        read_stream(args.reads, args.read_len, genome, batch=args.block),
+        corpus_stream(args.reads),
         k,
         stranded=False,
         min_obs=args.min_obs,
@@ -207,6 +254,8 @@ def main():
     peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     result = {
         "n_reads": args.reads,
+        "repeat_rich": bool(args.repeat_rich),
+        "fasta_input": args.fasta or None,
         "read_len": args.read_len,
         "k": k,
         "n_kmers_streamed": n_kmers,

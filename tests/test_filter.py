@@ -278,3 +278,33 @@ def test_streaming_device_merge_u_overflow_replay(rng):
     assert np.array_equal(dev.kmers, ref.kmers)
     assert np.array_equal(dev.counts, ref.counts)
     assert np.array_equal(dev.exts, ref.exts)
+
+
+def test_colored_streaming_device_merge_equals_set_arrays(rng):
+    """colored=True streaming (device (kmer,label) pair merge) must match
+    the in-memory CountFilterSet path exactly: same table, same sorted
+    deduplicated color sets per kmer (filter.rs:68-101 at scale)."""
+    k = 25
+    genomes = [O.random_dna(rng, 400) for _ in range(3)]
+    reads = []
+    for s, g in enumerate(genomes):
+        for _ in range(40):
+            p = int(rng.integers(0, len(g) - 60))
+            r = np.asarray(g[p : p + 60], np.uint8)
+            if rng.random() < 0.5:
+                r = (3 - r[::-1]).astype(np.uint8)
+            reads.append((r, 0, s))
+    for min_obs in (1, 2):
+        t_ref, pl_ref, sp_ref = F.filter_kmers_set_arrays(
+            reads, k, stranded=False, min_obs=min_obs
+        )
+        t_str, pl_str, sp_str = F.filter_kmers_streaming(
+            iter(reads), k, stranded=False, min_obs=min_obs,
+            merge="device", colored=True, data_reduce="none",
+            chunk_reads=32, init_capacity=8192,
+        )
+        assert np.array_equal(t_str.kmers, t_ref.kmers)
+        assert np.array_equal(t_str.exts, t_ref.exts)
+        assert np.array_equal(t_str.counts, t_ref.counts)
+        assert np.array_equal(pl_str, pl_ref)
+        assert np.array_equal(sp_str, sp_ref)

@@ -113,3 +113,34 @@ def test_python_fallback_parity(tmp_path, rng, monkeypatch):
     assert len(native) == len(fallback)
     for a, b in zip(native, fallback):
         assert np.array_equal(a, b)
+
+
+def test_stream_fastx_blocks_feeds_streaming(rng, tmp_path):
+    """Native batched FASTX -> PackedReadBlock -> filter_kmers_streaming
+    (device merge) equals filter_kmers on the same reads (the production
+    file-fed streaming path, end to end)."""
+    from tpu_debruijn import filter as F
+    from tpu_debruijn.io import native as N
+    from tpu_debruijn.io import stream_fastx_blocks
+    from tpu_debruijn.bases import bases_to_str
+
+    if not N.native_available():
+        pytest.skip("native library not built")
+    k = 21
+    reads = [rng.integers(0, 4, int(rng.integers(40, 90))).astype(np.uint8)
+             for _ in range(300)]
+    p = tmp_path / "reads.fa"
+    with open(p, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{bases_to_str(r)}\n")
+
+    t_ref = F.filter_kmers([(r, 0, 0) for r in reads], k, stranded=False,
+                           min_obs=1)
+    t_str = F.filter_kmers_streaming(
+        stream_fastx_blocks(str(p), block_reads=64), k, stranded=False,
+        min_obs=1, merge="device", data_reduce="none", chunk_reads=256,
+        init_capacity=8192,
+    )
+    assert np.array_equal(t_str.kmers, t_ref.kmers)
+    assert np.array_equal(t_str.exts, t_ref.exts)
+    assert np.array_equal(t_str.counts, t_ref.counts)

@@ -1217,6 +1217,34 @@ def compress_kmers_rich(
     ]
 
 
+@jax.jit
+def _fold_pairs_device(pu, pl):
+    """Per-unitig color-set union on device: sort (unitig, label) pairs,
+    keep run starts (the deduplicated sorted union), compact.  ``pu`` is
+    each pair's unitig id (-1 = censored/dead).  Returns (uids, labels,
+    n_pairs) with live unique pairs sorted at the front — the device
+    replacement for the host np.unique over 10M+ pair rows (VERDICT r4
+    next-step 3)."""
+    dead = pu < 0
+    k0 = jnp.where(dead, np.uint32(0xFFFFFFFF), pu.astype(jnp.uint32))
+    k1 = jnp.where(dead, np.uint32(0xFFFFFFFF), pl.astype(jnp.uint32))
+    s0, s1 = jax.lax.sort([k0, k1], num_keys=2, is_stable=False)
+    p0 = jnp.concatenate([~s0[:1], s0[:-1]])
+    p1 = jnp.concatenate([s1[:1], s1[:-1]])
+    starts = (s0 != p0) | (s1 != p1)
+    keep = starts.at[0].set(True) & (s0 != np.uint32(0xFFFFFFFF))
+    n = pu.shape[0]
+    key = jnp.arange(n, dtype=jnp.uint32) | jnp.where(
+        keep, np.uint32(0), np.uint32(1 << 31)
+    )
+    out = jax.lax.sort([key, s0, s1], num_keys=1, is_stable=False)
+    return (
+        out[1].astype(jnp.int32),
+        out[2].astype(jnp.int32),
+        keep.sum().astype(jnp.int32),
+    )
+
+
 def compress_kmers_color_sets(
     table,
     pair_label: np.ndarray,
@@ -1272,17 +1300,23 @@ def compress_kmers_color_sets(
         np.asarray(contrib), labels, data_reduce="first",
     )
     # per-unitig set union: route every (kmer, label) pair to its unitig
-    # and unique — one vectorized sort, no per-unitig loop
+    # and unique — ONE device sort + compaction over the pair rows (pow2
+    # padded; dead rows carry uid -1), no per-unitig loop and no host
+    # np.unique at 10M+ pair scale
     slot_of_pair = np.repeat(np.arange(n, dtype=np.int64), lens)
-    pu = uid[slot_of_pair]
-    keep = pu >= 0
-    if keep.any():
-        pairs = np.unique(
-            np.stack([pu[keep].astype(np.int64), pair_label[keep].astype(np.int64)], axis=1),
-            axis=0,
-        )
-        out_split = np.searchsorted(pairs[:, 0], np.arange(nutg + 1)).astype(np.int64)
-        out_labels = pairs[:, 1].astype(np.int32)
+    pu = uid[slot_of_pair].astype(np.int32)
+    p_n = len(pu)
+    if p_n:
+        cap = 1 << max(8, (p_n - 1).bit_length())
+        pu_p = np.full(cap, -1, np.int32)
+        pl_p = np.zeros(cap, np.int32)
+        pu_p[:p_n] = pu
+        pl_p[:p_n] = pair_label
+        du, dl, dn = _fold_pairs_device(jnp.asarray(pu_p), jnp.asarray(pl_p))
+        np_pairs = int(dn)
+        uids = np.asarray(du)[:np_pairs]
+        out_labels = np.asarray(dl)[:np_pairs]
+        out_split = np.searchsorted(uids, np.arange(nutg + 1)).astype(np.int64)
     else:
         out_split = np.zeros(nutg + 1, np.int64)
         out_labels = np.zeros(0, np.int32)

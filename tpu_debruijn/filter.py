@@ -1026,6 +1026,25 @@ def pad_reads(
 
 
 @dataclasses.dataclass
+class PackedReadBlock:
+    """A pre-batched, 2-bit PACKED read block for streaming ingestion.
+
+    ``packed``: (m, width//4) uint8 rows, 4 bases/byte, little-endian
+    within the byte (filter._unpack2bit layout — the device streaming
+    upload format; the native FASTX batch extractor emits it directly).
+    ``lengths``: (m,) unpacked read lengths.  ``width``: unpacked row
+    width in bases (multiple of 16).  ``seq_exts``/``label``: scalar or
+    (m,) arrays, as in the plain block tuple.
+    """
+
+    packed: np.ndarray
+    lengths: np.ndarray
+    width: int
+    seq_exts: object = 0
+    label: object = 0
+
+
+@dataclasses.dataclass
 class KmerTable:
     """Host view of a filtered kmer table (trimmed numpy arrays)."""
 
@@ -1311,6 +1330,7 @@ def count_kmers_blocks(
     stranded: bool,
     out_cols: int,
     n_blocks: int = 256,
+    labels=None,
 ):
     """The streaming-merge count program: per-batch kmer dedup emitting a
     BLOCK-COMPACTED sentinel-encoded table (filter.rs:139-231 semantics,
@@ -1323,11 +1343,18 @@ def count_kmers_blocks(
     cheaper than the global partition).
 
     Returns (limbs (n_blocks*out_cols, W), packed (n_blocks*out_cols,),
-    n_unique, ok).  Rows are globally sorted among live rows; dead rows
+    n_unique, ok) — plus a label array before ``packed`` when ``labels``
+    is given.  Rows are globally sorted among live rows; dead rows
     are all-ones/zero sentinels.  ``ok`` False means some chunk had more
     unique kmers than ``out_cols`` and the output is truncated — the
     caller must grow ``out_cols`` and retry (the self-guarding merge
     refuses truncated chunks).
+
+    With ``labels`` (per-read int32 color ids), rows are (kmer, label)
+    PAIRS: the label rides as one more sort key below the kmer limbs —
+    the CountFilterSet data model (filter.rs:68-101) in streaming form.
+    The all-ones sentinel label (0xFFFFFFFF, outside the int32 label
+    range) keeps even poly-T pairs unambiguous.
     """
     kmers, exts, valid = extract_kmers(spec, bases, lengths, seq_exts)
     kmers, exts, _ = canonicalize(spec, kmers, exts, stranded)
@@ -1340,9 +1367,17 @@ def count_kmers_blocks(
     keys = [
         jnp.where(vf, kf[:, i], np.uint32(0xFFFFFFFF)) for i in range(w)
     ]
+    if labels is not None:
+        lab = jnp.broadcast_to(
+            jnp.asarray(labels, jnp.int32)[:, None], valid.shape
+        ).reshape(n)
+        keys.append(
+            jnp.where(vf, lab.astype(jnp.uint32), np.uint32(0xFFFFFFFF))
+        )
+    nk = len(keys)
     packed = jnp.where(vf, (jnp.int32(1) << 8) | (ef & 0xFF), 0)
-    out = jax.lax.sort(keys + [packed], num_keys=w, is_stable=False)
-    slimbs, spacked = list(out[:w]), out[w]
+    out = jax.lax.sort(keys + [packed], num_keys=nk, is_stable=False)
+    slimbs, spacked = list(out[:nk]), out[nk]
 
     prev = [jnp.concatenate([kk[:1], kk[:-1]]) for kk in slimbs]
     differs = ~S.lex_eq(slimbs, prev)
@@ -1357,10 +1392,25 @@ def count_kmers_blocks(
 
     res, _, ok = _block_compact(
         starts, slimbs + [agg], n_blocks, out_cols,
-        [np.uint32(0xFFFFFFFF)] * w + [jnp.int32(0)],
+        [np.uint32(0xFFFFFFFF)] * nk + [jnp.int32(0)],
     )
     climbs = S.keys_to_limbs(res[:w])
+    if labels is not None:
+        return climbs, res[w], res[nk], n_unique, ok
     return climbs, res[w], n_unique, ok
+
+
+def _unpack2bit(packed, l: int):
+    """(R, L//4) uint8 host-packed reads -> (R, L) 2-bit codes.
+
+    The streaming loop uploads PACKED reads: this image's TPU tunnel
+    moves ~13MB/s, so a raw 8192x160 uint8 block costs ~100ms of
+    transfer — 10x the device compute it feeds.  4 bases/byte cuts that
+    4x; unpacking is one fused elementwise pass on device."""
+    r = packed.shape[0]
+    shifts = np.uint8(2) * jnp.arange(4, dtype=jnp.uint8)
+    out = (packed[:, :, None] >> shifts[None, None, :]) & np.uint8(3)
+    return out.reshape(r, l)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -1370,26 +1420,63 @@ def _count_kmers_blocks_jit(spec, stranded, out_cols, bases, lengths, seq_exts):
     )
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _merge_blocks_jit(spec, s_kmers, s_packed, c_kmers, c_packed, n_blocks,
-                      c_ok):
-    """Fold a sentinel-encoded block table into the sentinel-encoded
-    device state: ONE W-key sort over C+U rows (sentinels need no
-    validity arrays), ONE packed suffix scan, block-compaction back to C
-    rows.  Self-guarding: if any output chunk overflows C//n_blocks or
-    the incoming chunk was truncated (``c_ok`` False), the state is
-    returned unchanged and the caller replays after growing capacity.
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _count_kmers_blocks_packed_jit(spec, stranded, out_cols, l, packed,
+                                   lengths, seq_exts):
+    return count_kmers_blocks(
+        spec, _unpack2bit(packed, l), lengths, seq_exts,
+        stranded=stranded, out_cols=out_cols,
+    )
 
-    Returns (kmers (C, W), packed (C,), n_unique, ok).
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _count_kmers_blocks_packed_colored_jit(spec, stranded, out_cols, l,
+                                           packed, lengths, seq_exts, labels):
+    return count_kmers_blocks(
+        spec, _unpack2bit(packed, l), lengths, seq_exts,
+        stranded=stranded, out_cols=out_cols, labels=labels,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _count_kmers_blocks_colored_jit(spec, stranded, out_cols, bases, lengths,
+                                    seq_exts, labels):
+    return count_kmers_blocks(
+        spec, bases, lengths, seq_exts, stranded=stranded, out_cols=out_cols,
+        labels=labels,
+    )
+
+
+def _merge_blocks(spec, s_kmers, s_packed, c_kmers, c_packed, n_blocks,
+                  c_ok, s_labels=None, c_labels=None):
+    """Fold a sentinel-encoded block table into the sentinel-encoded
+    device state: ONE sort over C+U rows (sentinels need no validity
+    arrays), ONE packed suffix scan, block-compaction back to C rows.
+    Self-guarding: if any output chunk overflows C//n_blocks or the
+    incoming chunk was truncated (``c_ok`` False), the state is returned
+    unchanged and the caller replays after growing capacity.
+
+    With label arrays, rows are (kmer, label) pairs and the label rides
+    as one more sort key (colored streaming, filter.rs:68-101).
+
+    Returns (kmers (C, W), [labels (C,),] packed (C,), n_unique, ok).
     """
     w = spec.w
     c = s_kmers.shape[0]
+    colored = s_labels is not None
     cols = [
         jnp.concatenate([s_kmers[:, i], c_kmers[:, i]]) for i in range(w)
     ]
+    if colored:
+        cols.append(
+            jnp.concatenate(
+                [s_labels.astype(jnp.uint32), c_labels.astype(jnp.uint32)]
+            )
+        )
+    nk = len(cols)
     pay = jnp.concatenate([s_packed, c_packed])
-    out = jax.lax.sort(cols + [pay], num_keys=w, is_stable=False)
-    slimbs, spacked = list(out[:w]), out[w]
+    out = jax.lax.sort(cols + [pay], num_keys=nk, is_stable=False)
+    slimbs, spacked = list(out[:nk]), out[nk]
     prev = [jnp.concatenate([kk[:1], kk[:-1]]) for kk in slimbs]
     differs = ~S.lex_eq(slimbs, prev)
     starts = differs.at[0].set(True)
@@ -1399,14 +1486,105 @@ def _merge_blocks_jit(spec, s_kmers, s_packed, c_kmers, c_packed, n_blocks,
 
     res, _, ok = _block_compact(
         starts, slimbs + [agg], n_blocks, c // n_blocks,
-        [np.uint32(0xFFFFFFFF)] * w + [jnp.int32(0)],
+        [np.uint32(0xFFFFFFFF)] * nk + [jnp.int32(0)],
     )
     ok = ok & c_ok
     new_k = S.keys_to_limbs(res[:w])
-    new_p = res[w]
+    out_k = jnp.where(ok, new_k, s_kmers)
+    out_p = jnp.where(ok, res[nk], s_packed)
+    if colored:
+        out_l = jnp.where(ok, res[w].astype(jnp.int32), s_labels)
+        return out_k, out_l, out_p, n_unique, ok
+    return out_k, out_p, n_unique, ok
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _merge_blocks_jit(spec, s_kmers, s_packed, c_kmers, c_packed, n_blocks,
+                      c_ok):
+    return _merge_blocks(spec, s_kmers, s_packed, c_kmers, c_packed,
+                         n_blocks, c_ok)
+
+
+def _merge_blocks_dense(spec, s_kmers, s_packed, c_kmers, c_packed, c_ok,
+                        s_labels=None, c_labels=None):
+    """Guaranteed-progress merge: same sort + scan as :func:`_merge_blocks`
+    but compaction is ONE global partition (start rows to the front,
+    dense), so the only overflow is a REAL one (more uniques than state
+    capacity).  The per-chunk block compaction is ~10x cheaper but cannot
+    fit a contiguous all-unique key range (every first merge, and chunks
+    of mostly-new kmers) — the streaming loop runs the block merge
+    optimistically and replays refused chunks through this one.
+
+    Returns like _merge_blocks; the output state is dense at the front.
+    """
+    w = spec.w
+    c = s_kmers.shape[0]
+    colored = s_labels is not None
+    cols = [
+        jnp.concatenate([s_kmers[:, i], c_kmers[:, i]]) for i in range(w)
+    ]
+    if colored:
+        cols.append(
+            jnp.concatenate(
+                [s_labels.astype(jnp.uint32), c_labels.astype(jnp.uint32)]
+            )
+        )
+    nk = len(cols)
+    tot = cols[0].shape[0]
+    pay = jnp.concatenate([s_packed, c_packed])
+    out = jax.lax.sort(cols + [pay], num_keys=nk, is_stable=False)
+    slimbs, spacked = list(out[:nk]), out[nk]
+    prev = [jnp.concatenate([kk[:1], kk[:-1]]) for kk in slimbs]
+    differs = ~S.lex_eq(slimbs, prev)
+    starts = differs.at[0].set(True)
+    is_end = jnp.concatenate([differs[1:], jnp.ones(1, bool)])
+    agg = _seg_sum_or_suffix(spacked, is_end)
+    live_start = starts & (agg >= 256)
+    n_unique = live_start.sum().astype(jnp.int32)
+
+    key = jnp.arange(tot, dtype=jnp.uint32) | jnp.where(
+        live_start, np.uint32(0), np.uint32(1 << 31)
+    )
+    out2 = jax.lax.sort([key] + slimbs + [agg], num_keys=1, is_stable=False)
+    ridx = jnp.arange(c, dtype=jnp.int32)
+    live = ridx < n_unique
+    new_k = S.keys_to_limbs(
+        [
+            jnp.where(live, out2[1 + i][:c], np.uint32(0xFFFFFFFF))
+            for i in range(w)
+        ]
+    )
+    new_p = jnp.where(live, out2[1 + nk][:c], 0)
+    ok = (n_unique <= c) & c_ok
     out_k = jnp.where(ok, new_k, s_kmers)
     out_p = jnp.where(ok, new_p, s_packed)
+    if colored:
+        new_l = jnp.where(
+            live, out2[1 + w][:c].astype(jnp.int32), -1
+        )
+        out_l = jnp.where(ok, new_l, s_labels)
+        return out_k, out_l, out_p, n_unique, ok
     return out_k, out_p, n_unique, ok
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _merge_blocks_dense_jit(spec, s_kmers, s_packed, c_kmers, c_packed, c_ok):
+    return _merge_blocks_dense(spec, s_kmers, s_packed, c_kmers, c_packed,
+                               c_ok)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _merge_blocks_dense_colored_jit(spec, s_kmers, s_labels, s_packed,
+                                    c_kmers, c_labels, c_packed, c_ok):
+    return _merge_blocks_dense(spec, s_kmers, s_packed, c_kmers, c_packed,
+                               c_ok, s_labels=s_labels, c_labels=c_labels)
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def _merge_blocks_colored_jit(spec, s_kmers, s_labels, s_packed, c_kmers,
+                              c_labels, c_packed, n_blocks, c_ok):
+    return _merge_blocks(spec, s_kmers, s_packed, c_kmers, c_packed,
+                         n_blocks, c_ok, s_labels=s_labels, c_labels=c_labels)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -1425,6 +1603,28 @@ def _extract_blocks_state_jit(spec, s_kmers, s_packed):
     return (
         S.keys_to_limbs(out[1 : 1 + spec.w]),
         out[1 + spec.w],
+        live.sum().astype(jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _extract_blocks_state_colored_jit(spec, s_kmers, s_labels, s_packed):
+    """Colored variant: dense sorted (kmer, label) pair table."""
+    n = s_kmers.shape[0]
+    live = s_packed >= 256
+    key = jnp.arange(n, dtype=jnp.uint32) | jnp.where(
+        live, np.uint32(0), np.uint32(1 << 31)
+    )
+    out = jax.lax.sort(
+        [key]
+        + [s_kmers[:, i] for i in range(spec.w)]
+        + [s_labels, s_packed],
+        num_keys=1, is_stable=False,
+    )
+    return (
+        S.keys_to_limbs(out[1 : 1 + spec.w]),
+        out[1 + spec.w],
+        out[2 + spec.w],
         live.sum().astype(jnp.int32),
     )
 
@@ -1476,7 +1676,8 @@ def filter_kmers_streaming(
     merge: str = "host",
     init_capacity: int = 1 << 20,
     unique_capacity: Optional[int] = None,
-) -> KmerTable:
+    colored: bool = False,
+):
     """Memory-bounded streaming counting (filter.rs:151-183 equivalent).
 
     The reference bounds temp memory by multi-pass bucket ranges; here the
@@ -1511,6 +1712,15 @@ def filter_kmers_streaming(
       with the corpus; overflows are detected through lagged, batched
       diagnostics and replayed exactly — the stream never blocks on a
       per-chunk host round trip.  Requires ``data_reduce='none'``.
+
+    ``colored=True`` (requires ``merge='device'``) streams CountFilterSet
+    data (filter.rs:68-101): read labels are color ids, the device state
+    holds (kmer, label) PAIRS (the label rides the sorts as one more
+    key), and the return value becomes the
+    :func:`filter_kmers_set_arrays` triple ``(KmerTable, pair_label,
+    split)`` — row i's sorted deduplicated color set is
+    ``pair_label[split[i]:split[i+1]]``.  ``min_obs`` applies to each
+    kmer's TOTAL count across colors, exactly like the in-memory path.
     """
     spec = KmerSpec(k)
     if memory_gb is not None and read_len_cap is not None:
@@ -1525,11 +1735,14 @@ def filter_kmers_streaming(
     parts = []
     chunk: List = []
 
+    if colored and merge != "device":
+        raise ValueError("colored=True requires merge='device'")
     if merge == "device":
         if data_reduce != "none":
             raise ValueError(
-                "merge='device' supports data_reduce='none' only (labels "
-                "cannot ride the device merge); use merge='host'"
+                "merge='device' supports data_reduce='none' only "
+                "(colored=True carries labels as pair keys; other "
+                "label reductions need merge='host')"
             )
         # the block pipeline reshapes the obs stream into 256 chunks:
         # rows must stay a power of two (see flush/flush_block rounding)
@@ -1559,18 +1772,47 @@ def filter_kmers_streaming(
             dstate["kmers"] = jnp.full((c0, spec.w), 0xFFFFFFFF, jnp.uint32)
             dstate["packed"] = jnp.zeros(c0, jnp.int32)
             dstate["n"] = jnp.int32(0)
+            if colored:
+                dstate["labels"] = jnp.full(c0, -1, jnp.int32)
 
-    def _dev_stage(chunk_np):
-        """Enqueue block dedupe + guarded block merge of one chunk; no
-        host sync."""
-        da, dl, de, _dlab = map(jnp.asarray, chunk_np)
-        ck, cp, c_n, c_ok = _count_kmers_blocks_jit(
-            spec, stranded, dstate["out_cols"], da, dl, de
-        )
-        nk, npk, n_new, ok = _merge_blocks_jit(
-            spec, dstate["kmers"], dstate["packed"], ck, cp,
-            dstate["MB"], c_ok,
-        )
+    def _dev_stage(chunk_np, dense=False):
+        """Enqueue block dedupe + guarded merge of one chunk; no host
+        sync.  Reads arrive 2-bit PACKED (4 bases/byte: the tunnel
+        transfer, not device compute, bounds streaming) and unpack on
+        device.  The default merge is the optimistic block-compaction one
+        (cheapest, but refuses chunks with contiguous all-unique key
+        ranges); ``dense=True`` (used for replays) runs the
+        guaranteed-progress global-partition merge."""
+        da, dl, de, dlab = map(jnp.asarray, chunk_np)
+        l = chunk_np[0].shape[1] * 4
+        if colored:
+            ck, cl, cp, c_n, c_ok = _count_kmers_blocks_packed_colored_jit(
+                spec, stranded, dstate["out_cols"], l, da, dl, de, dlab
+            )
+            if dense:
+                nk, nl, npk, n_new, ok = _merge_blocks_dense_colored_jit(
+                    spec, dstate["kmers"], dstate["labels"],
+                    dstate["packed"], ck, cl, cp, c_ok,
+                )
+            else:
+                nk, nl, npk, n_new, ok = _merge_blocks_colored_jit(
+                    spec, dstate["kmers"], dstate["labels"],
+                    dstate["packed"], ck, cl, cp, dstate["MB"], c_ok,
+                )
+            dstate["labels"] = nl
+        else:
+            ck, cp, c_n, c_ok = _count_kmers_blocks_packed_jit(
+                spec, stranded, dstate["out_cols"], l, da, dl, de
+            )
+            if dense:
+                nk, npk, n_new, ok = _merge_blocks_dense_jit(
+                    spec, dstate["kmers"], dstate["packed"], ck, cp, c_ok,
+                )
+            else:
+                nk, npk, n_new, ok = _merge_blocks_jit(
+                    spec, dstate["kmers"], dstate["packed"], ck, cp,
+                    dstate["MB"], c_ok,
+                )
         dstate["kmers"], dstate["packed"], dstate["n"] = nk, npk, n_new
         dstate["pending"].append((chunk_np, n_new, c_ok, ok))
 
@@ -1594,12 +1836,13 @@ def filter_kmers_streaming(
         if (diag[:, 1] == 0).any():
             # count-side block truncation: widen the chunk block table
             dstate["out_cols"] *= 2
-        if ((diag[:, 1] == 1) & (diag[:, 2] == 0)).any():
-            # merge-side chunk overflow: double state capacity (handles
-            # both global growth and local all-unique key ranges)
-            need = max(dstate["C"] * 2, 1 << int(2 * diag[:, 0].max() - 1).bit_length())
+        need_n = int(diag[:, 0].max())
+        if 2 * need_n > dstate["C"]:
+            # capacity headroom for the gapped block-merge state: keep C
+            # at >= 2x the unique count so steady-state chunks fit their
+            # per-chunk output slots
             c2 = dstate["C"]
-            while c2 < need:
+            while c2 < 2 * need_n:
                 c2 *= 2
             log.info(
                 "filter_kmers_streaming[device]: growing table capacity "
@@ -1611,18 +1854,35 @@ def filter_kmers_streaming(
                 constant_values=np.uint32(0xFFFFFFFF),
             )
             dstate["packed"] = jnp.pad(dstate["packed"], ((0, pad),))
+            if colored:
+                dstate["labels"] = jnp.pad(
+                    dstate["labels"], ((0, pad),), constant_values=-1
+                )
             dstate["C"] = c2
         log.info(
             "filter_kmers_streaming[device]: replaying %d dropped chunk(s)",
             len(dropped),
         )
+        # replays take the guaranteed-progress dense merge: the block
+        # merge legitimately refuses mostly-new chunks (contiguous
+        # all-unique ranges overflow ANY per-chunk slot count), so
+        # replaying through it could loop forever
         for chunk_np in dropped:
-            _dev_stage(chunk_np)
+            _dev_stage(chunk_np, dense=True)
         _dev_confirm(force=True)
+
+    def _pack4(arr):
+        # host-side 2-bit packing (width is a multiple of 16, so of 4)
+        return (
+            arr[:, 0::4]
+            | (arr[:, 1::4] << 2)
+            | (arr[:, 2::4] << 4)
+            | (arr[:, 3::4] << 6)
+        ).astype(np.uint8)
 
     def run_device_merge(arr, lengths, seq_exts, labels):
         _dev_init()
-        _dev_stage((arr, lengths, seq_exts, labels))
+        _dev_stage((_pack4(arr), lengths, seq_exts, labels))
         _dev_confirm()
 
     def run_device(arr, lengths, seq_exts, labels):
@@ -1685,7 +1945,7 @@ def filter_kmers_streaming(
         while rows < len(chunk):
             rows *= 2
         rows = min(rows, chunk_reads)
-        arr = np.zeros((rows, max(cap, k)), np.uint8)
+        arr = np.zeros((rows, -(-max(cap, k) // 16) * 16), np.uint8)
         lengths = np.zeros(rows, np.int32)
         seq_exts = np.zeros(rows, np.int32)
         labels = np.zeros(rows, np.int32)
@@ -1711,7 +1971,7 @@ def filter_kmers_streaming(
                     "(%d > %d); growing (recompiles)", need, cap,
                 )
             cap = need
-        width = max(cap, k)
+        width = -(-max(cap, k) // 16) * 16
         step = chunk_reads
         for lo in range(0, m, step):
             sub = block[lo : lo + step]
@@ -1739,7 +1999,49 @@ def filter_kmers_streaming(
             )
             run_device(arr, lengths, seq_exts, labels)
 
+    def flush_packed(item: PackedReadBlock):
+        # already in the device upload format: slice into chunk_reads
+        # sub-blocks, pad rows to pow2, and stage with zero re-encoding
+        nonlocal cap
+        if merge != "device":
+            raise ValueError("PackedReadBlock items require merge='device'")
+        if item.width % 16:
+            raise ValueError("PackedReadBlock width must be a multiple of 16")
+        if cap is None or item.width > cap:
+            cap = item.width
+        m = item.packed.shape[0]
+        wb = item.packed.shape[1]
+        for lo in range(0, m, chunk_reads):
+            sub = item.packed[lo : lo + chunk_reads]
+            rows = 256
+            while rows < sub.shape[0]:
+                rows *= 2
+            rows = min(rows, chunk_reads)
+            arr = np.zeros((rows, wb), np.uint8)
+            arr[: sub.shape[0]] = sub
+            lengths = np.zeros(rows, np.int32)
+            lengths[: sub.shape[0]] = np.asarray(
+                item.lengths[lo : lo + chunk_reads], np.int32
+            )
+            e, d = item.seq_exts, item.label
+            seq_exts = np.zeros(rows, np.int32)
+            seq_exts[: sub.shape[0]] = (
+                np.asarray(e, np.int32)[lo : lo + chunk_reads] if np.ndim(e) else e
+            )
+            labels = np.zeros(rows, np.int32)
+            labels[: sub.shape[0]] = (
+                np.asarray(d, np.int32)[lo : lo + chunk_reads] if np.ndim(d) else d
+            )
+            _dev_init()
+            _dev_stage((arr, lengths, seq_exts, labels))
+            _dev_confirm()
+
     for item in seqs:
+        if isinstance(item, PackedReadBlock):
+            flush(chunk)
+            chunk = []
+            flush_packed(item)
+            continue
         if np.ndim(item[0]) == 2:
             flush(chunk)
             chunk = []
@@ -1755,12 +2057,61 @@ def filter_kmers_streaming(
 
     if merge == "device":
         if dstate["kmers"] is None:
-            return KmerTable(
+            empty = KmerTable(
                 spec, stranded,
                 np.zeros((0, spec.w), np.uint32), np.zeros(0, np.int32),
                 np.zeros(0, np.int32), np.zeros(0, np.int32),
             )
+            if colored:
+                return empty, np.zeros(0, np.int32), np.zeros(1, np.int64)
+            return empty
         _dev_confirm(force=True)
+        if colored:
+            dk, dl, dp, dn = _extract_blocks_state_colored_jit(
+                spec, dstate["kmers"], dstate["labels"], dstate["packed"]
+            )
+            n = int(dn)
+            nb = 256
+            while nb < n:
+                nb *= 2
+            nb = min(nb, dstate["C"])
+            pk = np.asarray(dk[:nb])[:n]          # (P, W) pair kmers
+            pl = np.asarray(dl[:nb])[:n]          # (P,) pair labels
+            pp = np.asarray(dp[:nb])[:n]          # (P,) packed
+            # per-kmer rollup over the sorted pair runs: counts sum
+            # (u16-saturated), exts OR, min_obs on the kmer TOTAL
+            new = np.ones(n, bool)
+            if n > 1:
+                new[1:] = (pk[1:] != pk[:-1]).any(axis=1)
+            kstarts = np.nonzero(new)[0]
+            pcounts = ((pp >> 8) & 0xFFFF).astype(np.int64)
+            pexts = (pp & 0xFF).astype(np.int32)
+            kcounts = np.minimum(
+                np.add.reduceat(pcounts, kstarts) if n else np.zeros(0),
+                65535,
+            ).astype(np.int32)
+            kexts = (
+                np.bitwise_or.reduceat(pexts, kstarts)
+                if n
+                else np.zeros(0, np.int32)
+            )
+            keep = kcounts >= min_obs
+            table = KmerTable(
+                spec=spec,
+                stranded=stranded,
+                kmers=pk[kstarts][keep],
+                exts=kexts[keep].astype(np.int32),
+                counts=kcounts[keep],
+                data=np.zeros(int(keep.sum()), np.int32),
+            )
+            # pair arrays filtered to surviving kmers, with split offsets
+            kid = np.cumsum(new) - 1
+            pair_keep = keep[kid]
+            pair_label = pl[pair_keep].astype(np.int32)
+            lens = np.diff(np.append(kstarts, n))[keep]
+            split = np.zeros(len(table) + 1, np.int64)
+            np.cumsum(lens, out=split[1:])
+            return table, pair_label, split
         # densify the sentinel-gapped block state ONCE (amortized over
         # the whole stream), then pull
         dk, dp, dn = _extract_blocks_state_jit(

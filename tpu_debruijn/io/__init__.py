@@ -13,7 +13,8 @@ from tpu_debruijn.io.native import (
     rc_codes,
     unpack_codes,
 )
-from tpu_debruijn.io.fastx import read_fasta, read_fastx, read_fastq
+from tpu_debruijn.io.fastx import (read_fasta, read_fastx, read_fastq,
+                                   stream_fastx_blocks)
 
 __all__ = [
     "ascii_to_codes",
@@ -25,4 +26,5 @@ __all__ = [
     "read_fasta",
     "read_fastq",
     "read_fastx",
+    "stream_fastx_blocks",
 ]

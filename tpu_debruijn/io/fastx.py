@@ -79,3 +79,46 @@ def read_fasta(path: str, max_records: Optional[int] = None) -> List[np.ndarray]
 
 def read_fastq(path: str, max_records: Optional[int] = None) -> List[np.ndarray]:
     return read_fastx(path, max_records)
+
+
+def stream_fastx_blocks(path: str, block_reads: int = 8192,
+                        width: Optional[int] = None):
+    """Stream a FASTA/FASTQ(.gz) file as device-ready packed read blocks.
+
+    Yields :class:`tpu_debruijn.filter.PackedReadBlock` items: the native
+    batch extractor (db_fastx_extract_batch) decodes ``block_reads``
+    records per call straight into the 2-bit packed upload format, so the
+    feeder does no per-read Python work — feed the generator directly to
+    ``filter_kmers_streaming(..., merge='device')``.
+
+    ``width``: unpacked row width in bases (multiple of 16); default =
+    the longest record in the file, rounded up.  Longer records are
+    truncated to it.
+    """
+    from tpu_debruijn.filter import PackedReadBlock
+
+    if not N.native_available():
+        raise RuntimeError(
+            "stream_fastx_blocks requires the native library "
+            "(native/libdebruijn_native.so); build with `make -C native`"
+        )
+    data = _read_bytes(path)
+    buf = np.frombuffer(data, np.uint8)
+    if len(buf) == 0:
+        return
+    cap = max(16, len(buf) // 32)
+    rs, re_, n = N.fastx_scan(buf, cap)
+    if n > cap:
+        rs, re_, n = N.fastx_scan(buf, n)
+    rs, re_ = rs[:n], re_[:n]
+    if width is None:
+        # span length bounds the sequence length (it includes newlines)
+        width = int((re_ - rs).max(initial=16))
+    width = -(-width // 16) * 16
+    stride = width // 4
+    for lo in range(0, n, block_reads):
+        hi = min(lo + block_reads, n)
+        rows, lengths, _bad = N.fastx_extract_batch(
+            buf, rs[lo:hi], re_[lo:hi], stride
+        )
+        yield PackedReadBlock(rows, lengths, width)

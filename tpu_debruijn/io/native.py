@@ -45,6 +45,11 @@ def _load():
         lib.db_fastx_scan.argtypes = [u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
         lib.db_fastx_extract.restype = ctypes.c_int64
         lib.db_fastx_extract.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.db_fastx_extract_batch.restype = ctypes.c_int64
+        lib.db_fastx_extract_batch.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64, i32p,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -160,3 +165,23 @@ def fastx_extract(buf: np.ndarray, start: int, end: int):
     bad = np.zeros(1, np.int64)
     m = lib.db_fastx_extract(_u8p(buf), start, end, _u8p(codes), _i64p(bad))
     return codes[:m], int(bad[0])
+
+
+def fastx_extract_batch(buf: np.ndarray, rec_start: np.ndarray,
+                        rec_end: np.ndarray, row_stride: int):
+    """Decode a batch of record spans into one (m, row_stride) 2-bit
+    PACKED row matrix (4 bases/byte, little-endian in the byte — the
+    device streaming upload format) + per-record lengths.  One native
+    call replaces m Python-side round trips.  Returns (rows, lengths,
+    n_invalid)."""
+    lib = _load()
+    rs = np.ascontiguousarray(rec_start, np.int64)
+    re_ = np.ascontiguousarray(rec_end, np.int64)
+    m = len(rs)
+    rows = np.empty((m, row_stride), np.uint8)
+    lengths = np.empty(m, np.int32)
+    bad = lib.db_fastx_extract_batch(
+        _u8p(buf), _i64p(rs), _i64p(re_), m, _u8p(rows), row_stride,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return rows, lengths, int(bad)
