@@ -29,6 +29,23 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free live compiled executables after every module.
+
+    With the whole suite in one process, ~300 live XLA:CPU executables
+    accumulate; at that age, compiling OR (de)serializing the largest
+    programs (the 8-device shard_map pipelines) intermittently segfaults
+    inside jaxlib 0.9.0 (repro: 6 full-suite runs crashed in
+    backend_compile_and_load / executable.serialize / deserialize, always
+    past ~270 tests; any ~180-test subset is stable, and every module
+    passes standalone).  Dropping executables between modules keeps the
+    live set small; the persistent compilation cache makes the re-JITs
+    cheap deserializes."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)

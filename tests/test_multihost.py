@@ -24,7 +24,13 @@ pid = int(sys.argv[1]); port = sys.argv[2]; outp = sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+# PRIVATE per-process cache dir: both workers compile the same programs
+# at the same time, and concurrent writes of the same entry to a shared
+# cache dir corrupt it — the parent (and later tests) then segfault
+# deserializing/compiling (repro'd as full-suite crashes in whatever big
+# compile followed this test).  Never share a compile cache between
+# concurrently-running processes.
+jax.config.update("jax_compilation_cache_dir", f"/tmp/mh_cache_{pid}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, "/root/repo")
 # distributed bootstrap MUST precede anything that initializes the XLA

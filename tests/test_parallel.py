@@ -19,6 +19,8 @@ import jax
 _NDEV = min(8, jax.device_count())
 
 
+
+
 def _reads_from_contigs(rng, contigs, n_reads=80, read_len=60, rc=True):
     reads = []
     pool = [np.asarray(c, np.uint8) for c in contigs if len(c) >= read_len]
