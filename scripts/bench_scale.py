@@ -171,10 +171,14 @@ def main():
         unique_capacity=args.unique_capacity,
     )
     t_count = time.time() - t0
+    # repeat-rich runs keep their own artifact so the two scale shapes
+    # (HBM-bound plain corpus, compression-heavy repeat corpus) coexist
+    artifact = ("scale_run_repeat_rich.json" if args.repeat_rich
+                else "scale_run.json")
     # partial artifact first: the compress program below is a fresh
     # (large) remote compile; if it stalls, the counting result survives
     os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)
-    with open(os.path.join(repo, "artifacts", "scale_run.json"), "w") as f:
+    with open(os.path.join(repo, "artifacts", artifact), "w") as f:
         json.dump({
             "n_reads": args.reads, "read_len": args.read_len, "k": k,
             "n_kmers_streamed": n_kmers, "n_valid_kmers": len(table),
@@ -274,7 +278,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
     os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)
-    with open(os.path.join(repo, "artifacts", "scale_run.json"), "w") as f:
+    with open(os.path.join(repo, "artifacts", artifact), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

@@ -189,3 +189,35 @@ def test_score_table_from_fn(rng):
     iv = M.msp_sequence(seq, 16, p, permutation=tbl, rc=False)
     assert len(iv) >= 1
     assert sum(len(s[2]) - 16 + 1 for s in iv) == len(seq) - 16 + 1
+
+
+@pytest.mark.parametrize("rc", [True, False])
+def test_simple_scan_matches_msp_sequence(rng, rc):
+    # msp.rs:61-93: simple_scan is Scanner with a permutation score; its
+    # intervals must name the same substrings/buckets msp_sequence emits
+    k, p = 20, 6
+    perm = rng.permutation(4**p).astype(np.int32)
+    for L in [k, 37, 95]:
+        s = rng.integers(0, 4, L).astype(np.uint8)
+        ivs = M.simple_scan(k, s, perm, rc=rc)
+        parts = M.msp_sequence(s, k, p, perm, rc=rc)
+        assert len(ivs) == len(parts)
+        cursor = 0
+        for iv, (bucket, exts, sub) in zip(ivs, parts):
+            assert iv.bucket == bucket
+            assert iv.len == len(sub)
+            assert iv.start == cursor
+            assert iv.end == cursor + iv.len
+            np.testing.assert_array_equal(s[iv.start : iv.end], sub)
+            cursor += len(sub) - k + 1  # next interval starts at next kmer
+        # the partition tiles every kmer of the read exactly once
+        assert cursor == L - k + 1
+
+
+def test_simple_scan_validation():
+    with pytest.raises(ValueError):
+        M.simple_scan(31, np.zeros(10, np.uint8))  # shorter than k
+    with pytest.raises(ValueError):
+        M.simple_scan(16, np.zeros(20, np.uint8), p=9)  # p > 8
+    with pytest.raises(ValueError):
+        M.simple_scan(16, np.zeros(20, np.uint8), np.zeros(100, np.int32))

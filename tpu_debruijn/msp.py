@@ -257,6 +257,70 @@ def gather_interval_bases(k: int, p: int, bases, intervals):
 # ---------------------------------------------------------------------------
 
 
+@dataclasses.dataclass(frozen=True)
+class MspInterval:
+    """msp.rs:13-51 equivalent: one MSP substring of a sequence.
+
+    ``bucket`` is the rc-canonicalized minimizer p-mer value (the shard
+    key, msp.rs:115-117); ``start``/``len`` delimit the substring.
+    """
+
+    bucket: int
+    start: int
+    len: int
+
+    @property
+    def end(self) -> int:
+        return self.start + self.len
+
+    @property
+    def range(self) -> range:
+        return range(self.start, self.start + self.len)
+
+
+def simple_scan(
+    k: int,
+    seq,
+    permutation: Optional[np.ndarray] = None,
+    rc: bool = True,
+    p: Optional[int] = None,
+) -> List[MspInterval]:
+    """msp.rs:61-93 equivalent (deprecated there in favor of ``Scanner``;
+    kept for API parity).  MSP intervals of one sequence, scored through
+    ``permutation`` (identity order when None).  ``p`` is inferred from
+    ``len(permutation)`` when a table is given (the reference infers it
+    from the P type parameter), else defaults to the reference's cap 8.
+    """
+    seq = np.asarray(seq, np.uint8)
+    if permutation is not None:
+        permutation = np.asarray(permutation)
+        if p is None:
+            p = max(1, (len(permutation).bit_length() - 1) // 2)
+        if 4**p != len(permutation):
+            raise ValueError(
+                f"permutation has {len(permutation)} entries, not 4^p"
+            )
+    elif p is None:
+        p = 8
+    if p > 8:
+        raise ValueError("simple_scan requires p <= 8 (msp.rs:68)")
+    if len(seq) < k:
+        raise ValueError("can't partition strings shorter than k (msp.rs:66)")
+    bases, lengths = F.pad_reads([seq], min_len=k, pad_to=16)
+    perm = None if permutation is None else jnp.asarray(permutation, jnp.int32)
+    iv = msp_intervals_device(
+        k, p, jnp.asarray(bases), jnp.asarray(lengths), perm, rc
+    )
+    n = int(iv["n_intervals"])
+    starts = np.asarray(iv["start"])[:n]
+    lens = np.asarray(iv["length"])[:n]
+    buckets = np.asarray(iv["bucket"])[:n]
+    return [
+        MspInterval(int(np.uint32(buckets[j])), int(starts[j]), int(lens[j]))
+        for j in range(n)
+    ]
+
+
 def score_table_from_fn(p: int, fn) -> np.ndarray:
     """Materialize an arbitrary p-mer score function as a 4^p table.
 
