@@ -218,9 +218,13 @@ def main():
         nv = int(np.asarray(t.n_valid))
 
         # chunk block table sized like the runtime would (grow until the
-        # block compaction fits the skew of this corpus)
+        # block compaction fits the skew of this corpus).  1.25x uniques
+        # is enough headroom in practice (the retry loop below is the
+        # guard); oversizing U directly inflates the merge sort (C+U
+        # rows) — r5's first cut sized U at 2x/C at 4x and gave back
+        # ~8M kmers/s of corpus throughput vs r4
         out_cols = 4
-        while 256 * out_cols < 2 * nv:
+        while 256 * out_cols < nv + (nv >> 2):
             out_cols *= 2
         while True:
             _, _, _, ok = F._count_kmers_blocks_jit(
@@ -241,8 +245,12 @@ def main():
         # per-batch device merge into the corpus table (filter_kmers_
         # streaming merge='device' shape).  State capacity C holds the
         # corpus uniques (sentinel-encoded, block-gapped).
+        # state capacity C = 2x uniques: with U = C/2, live rows fill a
+        # merge chunk to at most ~0.75 of its C/256 output slots (the
+        # every-kmer-seen-twice steady state of this loop); the grow
+        # loops below recover from skew refusals
         cap_c = 8192
-        while cap_c < 4 * nv:
+        while cap_c < 2 * nv:
             cap_c *= 2
         ck, cp, _, c_ok = F._count_kmers_blocks_jit(
             spec, stranded, out_cols, *dargs[:3]
@@ -255,7 +263,8 @@ def main():
         # block merge legitimately refuses the all-unique first merge),
         # then time the optimistic block merge in its steady state:
         # folding a batch into a state that already holds the corpus
-        # table — exactly the streaming loop's shape
+        # table — exactly the streaming loop's shape.  Either merge
+        # refusing at this capacity grows C and reseeds.
         while True:
             s_k = jnp.full((cap_c, spec.w), 0xFFFFFFFF, jnp.uint32)
             s_p = jnp.zeros(cap_c, jnp.int32)
@@ -263,16 +272,16 @@ def main():
                 spec, s_k, s_p, ck, cp, c_ok
             )
             if bool(np.asarray(mok)):
-                break
+                _, _, mn2, mok2 = merge(mk, mp, ck, cp, c_ok)
+                if bool(np.asarray(mok2)):
+                    break
             cap_c *= 2
+        assert int(np.asarray(mn2)) == nv, (
+            f"block merge uniques {int(np.asarray(mn2))} != count {nv}"
+        )
         merge_s = timed_enqueue(
             merge, (mk, mp, ck, cp, c_ok), iters, sync_latency,
             lambda o: np.asarray(o[2]),
-        )
-        _, _, mn2, mok2 = merge(mk, mp, ck, cp, c_ok)
-        assert bool(np.asarray(mok2)), "bench steady-state merge overflowed"
-        assert int(np.asarray(mn2)) == nv, (
-            f"block merge uniques {int(np.asarray(mn2))} != count {nv}"
         )
         # compression: runs ONCE per corpus on the merged table (the
         # reference's shape too: filter_kmers over all input, then one

@@ -853,6 +853,29 @@ def _compress_jit(spec, stranded, use_join, kmers, exts, n_valid, join_labels):
     )
 
 
+def _pad_table_pow2(kspec, n, kmers, *cols):
+    """Pow2-pad (kmers (n, W), 1-D columns) for the device compress call.
+
+    The host APIs receive exact-length tables; compiling _compress_jit at
+    every distinct n both defeats the persistent compile cache and hits
+    the tunnel helper's pathological odd-shape compile times (ROUND4
+    notes).  Rows >= n_valid are ignored by the kernel (uid -1), and
+    assemble_unitigs_flat is documented to accept padded arrays.
+    """
+    cap = 1 << max(10, int(n - 1).bit_length())
+    if cap == len(kmers):
+        return (jnp.asarray(kmers),) + tuple(jnp.asarray(c) for c in cols)
+    pk = np.zeros((cap, kspec.w), np.uint32)
+    pk[:n] = np.asarray(kmers)[:n]
+    out = [jnp.asarray(pk)]
+    for c in cols:
+        c = np.asarray(c)
+        pc = np.zeros(cap, c.dtype)
+        pc[:n] = c[:n]
+        out.append(jnp.asarray(pc))
+    return tuple(out)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _compress_ordered_jit(spec, stranded, order_cap, kmers, exts, n_valid,
                           first_pos):
@@ -1101,12 +1124,12 @@ def compress_kmers_flat_device(table, *, cap_bases: Optional[int] = None):
     n = len(table.kmers)
     if n == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int32), np.zeros(0, np.int32)
-    kmers = jnp.asarray(table.kmers)
-    exts = jnp.asarray(table.exts)
-    counts = jnp.asarray(np.asarray(table.counts, np.int32))
+    kmers, exts, counts = _pad_table_pow2(
+        kspec, n, table.kmers, table.exts, np.asarray(table.counts, np.int32)
+    )
     chains, u_exts, contrib = _compress_jit(
         kspec, table.stranded, False, kmers, exts, jnp.int32(n),
-        jnp.zeros(n, jnp.int32),
+        jnp.zeros(kmers.shape[0], jnp.int32),
     )
     nutg = int(chains.n_unitigs)
     if cap_bases is None:
@@ -1285,20 +1308,49 @@ def compress_kmers_color_sets(
         labels = ids
     else:
         labels = np.zeros(n, np.int32)
+    pk, pe, pl = _pad_table_pow2(kspec, n, table.kmers, table.exts, labels)
     chains, u_exts, contrib = _compress_jit(
-        kspec, table.stranded, join_on_sets,
-        jnp.asarray(table.kmers), jnp.asarray(table.exts), jnp.int32(n),
-        jnp.asarray(labels),
+        kspec, table.stranded, join_on_sets, pk, pe, jnp.int32(n), pl,
     )
-    uid = np.asarray(chains.uid)
-    pos = np.asarray(chains.pos)
     nutg = int(chains.n_unitigs)
-    nodes = assemble_unitigs(
-        kspec, table.kmers, uid, pos, np.asarray(chains.flip),
-        np.asarray(chains.length), np.asarray(chains.first_item),
-        np.asarray(chains.first_flip), nutg, np.asarray(u_exts),
-        np.asarray(contrib), labels, data_reduce="first",
-    )
+    # sequences assemble ON DEVICE (assemble_unitigs_device): the host
+    # pulls the flat base buffer + per-unitig lengths/exts + the per-item
+    # uid column (pair routing) — 2-3 pow2-trimmed transfers instead of
+    # the 8 full-cap chain arrays the host assembler needs (~8 x cap x 4B
+    # through this image's ~13MB/s TPU tunnel dominated colored compress)
+    base_cap = 1 << max(13, int(n + max(nutg, 1) * (kspec.k - 1)).bit_length())
+    while True:
+        seq, total, out_len, _, overflow = _assemble_dev_jit(
+            kspec, pk, chains, contrib, jnp.zeros(pk.shape[0], jnp.int32),
+            base_cap,
+        )
+        if not bool(overflow):
+            break
+        base_cap *= 2
+    tot = int(total)
+    nb = 256
+    while nb < tot:
+        nb *= 2
+    seq_flat = np.asarray(seq[: min(nb, base_cap)])[:tot]
+    ub = 256
+    while ub < nutg:
+        ub *= 2
+    ub = min(ub, pk.shape[0])
+    out_lengths = np.asarray(out_len[:ub])[:nutg].astype(np.int64)
+    u_exts_np = np.asarray(u_exts[:ub])[:nutg].astype(np.int32)
+    if join_on_sets:
+        first_item = np.asarray(chains.first_item[:ub])[:nutg]
+        node_data = np.asarray(pl)[first_item]  # eq-class id (constant per unitig)
+    else:
+        node_data = np.zeros(nutg, np.int32)
+    offsets = np.zeros(nutg + 1, np.int64)
+    np.cumsum(out_lengths, out=offsets[1:])
+    nodes = [
+        (seq_flat[offsets[u] : offsets[u + 1]], int(u_exts_np[u]),
+         int(node_data[u]))
+        for u in range(nutg)
+    ]
+    uid = np.asarray(chains.uid)
     # per-unitig set union: route every (kmer, label) pair to its unitig
     # and unique — ONE device sort + compaction over the pair rows (pow2
     # padded; dead rows carry uid -1), no per-unitig loop and no host
@@ -1452,16 +1504,19 @@ def compress_kmers(
             )
             for u in range(len(out_lengths))
         ]
-    kmers = jnp.asarray(table.kmers)
-    exts = jnp.asarray(table.exts)
     data_np = np.asarray(getattr(table, data_field))
     if spec is not None:
         data_reduce = spec.reduce
         label_np = spec.label_array(data_np)
         join_on_data = label_np is not None
-        labels = jnp.asarray(data_np if label_np is None else label_np, jnp.int32)
+        labels_np = np.asarray(
+            data_np if label_np is None else label_np, np.int32
+        )
     else:
-        labels = jnp.asarray(data_np, jnp.int32)
+        labels_np = np.asarray(data_np, np.int32)
+    kmers, exts, labels = _pad_table_pow2(
+        kspec, n, table.kmers, table.exts, labels_np
+    )
     chains, u_exts, contrib = _compress_jit(
         kspec, table.stranded, join_on_data, kmers, exts, jnp.int32(n), labels
     )
@@ -1471,15 +1526,17 @@ def compress_kmers(
     return assemble_unitigs(
         kspec,
         table.kmers,
-        np.asarray(chains.uid),
-        np.asarray(chains.pos),
-        np.asarray(chains.flip),
+        # per-item arrays sliced back to n: data_np is host-side exact
+        # length (may be an object array for callable reduces)
+        np.asarray(chains.uid)[:n],
+        np.asarray(chains.pos)[:n],
+        np.asarray(chains.flip)[:n],
         np.asarray(chains.length),
         np.asarray(chains.first_item),
         np.asarray(chains.first_flip),
         int(chains.n_unitigs),
         np.asarray(u_exts),
-        np.asarray(contrib),
+        np.asarray(contrib)[:n],
         data_np,
         data_reduce=data_reduce,
     )
