@@ -45,12 +45,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=1_000_000)
     ap.add_argument("--read-len", type=int, default=160)
-    ap.add_argument("--genome", type=int, default=2_000_000,
-                    help="E. coli scale by default; the remote-compile "
-                         "helper on this image SIGKILLs very large "
-                         "programs, so table capacity (and hence unique "
-                         "kmers) is kept moderate while the STREAMED "
-                         "volume stays 100M+")
+    ap.add_argument("--genome", type=int, default=1_000_000,
+                    help="sized so corpus uniques (~0.95M) sit at ~45% "
+                         "of the default 2^21 block-gapped state: the "
+                         "r5 blocked state needs slack per 8192-slot "
+                         "block, and growing C mid-stream compiles a "
+                         ">3.5M-row merge — past the remote helper's "
+                         "ceiling on this image.  The STREAMED volume "
+                         "stays 100M+ regardless")
     ap.add_argument("--block", type=int, default=8192,
                     help="reads per generated block (bounds the merge "
                          "program's size)")
