@@ -1761,8 +1761,22 @@ def filter_kmers_streaming(
             # deferred-confirmation machinery: merges are self-guarding
             # no-ops on overflow; diagnostics are read back LAGGED and
             # BATCHED so the stream never blocks on the tunnel per chunk
-            "pending": [],  # (chunk numpy tuple, n_new, count_ok, ok)
+            "pending": [],  # (device chunk tuple, n_new, count_ok, ok)
             "confirm_every": 32,
+            # adaptive merge mode: while the corpus is young, most
+            # chunks are mostly-NEW kmers, which the optimistic block
+            # merge legitimately refuses (contiguous all-unique ranges
+            # overflow any per-block slot count) — every such chunk
+            # would be processed twice (optimistic + dense replay).
+            # After a majority-refused confirm batch, the next
+            # ``dense_batches`` batches dispatch the guaranteed-progress
+            # dense merge directly, then re-probe the optimistic one.
+            "dense_batches": 0,
+            # phase-time accumulators (host wall): upload = jnp.asarray
+            # of chunk arrays (synchronous through a tunnel), dispatch =
+            # count+merge enqueue, confirm = diagnostic readbacks
+            "t_upload": 0.0, "t_dispatch": 0.0, "t_confirm": 0.0,
+            "n_chunks": 0, "n_replays": 0,
         }
 
     def _dev_init():
@@ -1783,8 +1797,23 @@ def filter_kmers_streaming(
         (cheapest, but refuses chunks with contiguous all-unique key
         ranges); ``dense=True`` (used for replays) runs the
         guaranteed-progress global-partition merge."""
-        da, dl, de, dlab = map(jnp.asarray, chunk_np)
-        l = chunk_np[0].shape[1] * 4
+        import time as _time
+
+        t0 = _time.perf_counter()
+        dev = tuple(map(jnp.asarray, chunk_np))
+        dstate["t_upload"] += _time.perf_counter() - t0
+        _dev_process(dev, dense)
+
+    def _dev_process(dev, dense=False):
+        """Count + merge an already-uploaded (device-resident) chunk.
+        Pending entries keep the device arrays so dense replays skip the
+        tunnel re-upload of the chunk."""
+        import time as _time
+
+        t1 = _time.perf_counter()
+        dense = dense or dstate["dense_batches"] > 0
+        da, dl, de, dlab = dev
+        l = da.shape[1] * 4
         if colored:
             ck, cl, cp, c_n, c_ok = _count_kmers_blocks_packed_colored_jit(
                 spec, stranded, dstate["out_cols"], l, da, dl, de, dlab
@@ -1814,7 +1843,10 @@ def filter_kmers_streaming(
                     dstate["MB"], c_ok,
                 )
         dstate["kmers"], dstate["packed"], dstate["n"] = nk, npk, n_new
-        dstate["pending"].append((chunk_np, n_new, c_ok, ok))
+        dstate["t_dispatch"] += _time.perf_counter() - t1
+        dstate["n_chunks"] += 1
+        dstate["n_replays"] += int(dense)
+        dstate["pending"].append((dev, n_new, c_ok, ok))
 
     def _dev_confirm(force=False):
         """Read pending diagnostics in ONE batched transfer; grow + replay
@@ -1824,13 +1856,28 @@ def filter_kmers_streaming(
             return
         if not force and len(dstate["pending"]) < dstate["confirm_every"]:
             return
+        import time as _time
+
+        t0 = _time.perf_counter()
         pend = dstate["pending"]
         dstate["pending"] = []
         flat = []
         for _, nn, cok, ok in pend:
             flat += [nn, cok.astype(jnp.int32), ok.astype(jnp.int32)]
         diag = np.asarray(jnp.stack(flat)).reshape(len(pend), 3)
+        dstate["t_confirm"] += _time.perf_counter() - t0
         dropped = [pend[i][0] for i in range(len(pend)) if diag[i, 2] == 0]
+        if dstate["dense_batches"] > 0:
+            dstate["dense_batches"] -= 1
+        if dropped:
+            # at ~90% per-block density refusals recur intermittently on
+            # block skew alone, each costing a wasted optimistic merge +
+            # a dense replay; the dense merge costs only ~2ms more than
+            # the block one, so ANY refusal flips the next batches to
+            # dense (majority-refused batches flip longer)
+            dstate["dense_batches"] = (
+                4 if 2 * len(dropped) > len(pend) else 2
+            )
         if not dropped:
             return
         if (diag[:, 1] == 0).any():
@@ -1866,9 +1913,10 @@ def filter_kmers_streaming(
         # replays take the guaranteed-progress dense merge: the block
         # merge legitimately refuses mostly-new chunks (contiguous
         # all-unique ranges overflow ANY per-chunk slot count), so
-        # replaying through it could loop forever
-        for chunk_np in dropped:
-            _dev_stage(chunk_np, dense=True)
+        # replaying through it could loop forever.  Replays reuse the
+        # device-resident chunk arrays — no tunnel re-upload.
+        for dev in dropped:
+            _dev_process(dev, dense=True)
         _dev_confirm(force=True)
 
     def _pack4(arr):
@@ -2066,6 +2114,12 @@ def filter_kmers_streaming(
                 return empty, np.zeros(0, np.int32), np.zeros(1, np.int64)
             return empty
         _dev_confirm(force=True)
+        log.info(
+            "filter_kmers_streaming[device]: %d chunks (%d dense replays); "
+            "upload %.2fs dispatch %.2fs confirm %.2fs",
+            dstate["n_chunks"], dstate["n_replays"], dstate["t_upload"],
+            dstate["t_dispatch"], dstate["t_confirm"],
+        )
         if colored:
             dk, dl, dp, dn = _extract_blocks_state_colored_jit(
                 spec, dstate["kmers"], dstate["labels"], dstate["packed"]
